@@ -1,0 +1,274 @@
+"""The path integrator — wavefront formulation.
+
+Semantics from the reference megakernel's ``pixelColor``
+(render.ts:1167-1212): at most ``maxBounces - 1`` path segments; emission
+accumulates into color weighted by throughput; throughput multiplies by
+albedo; bounce directions are cosine-weighted (``normalize(n + sphere)``,
+rng.ts:88-100); Russian roulette on the max throughput channel
+(render.ts:1201-1208); environment radiance on miss (render.ts:1183-1186).
+
+TPU-native shape: instead of one divergent bounce loop per pixel thread,
+the whole ray batch advances one segment at a time (a fixed unroll —
+``bounces_depth`` is static config), with dead lanes masked. RNG advances
+are masked per lane to replicate the SIMT draw order exactly.
+
+Also here: the light-sampling chain (``sampleLights → sampleModel →
+sampleFace``, render.ts:849-869) and the ``pointColor`` direct-lighting
+estimator (render.ts:1143-1157). In the reference ``pointColor`` is dead
+code — the megakernel never calls it — so it is exposed as the optional
+``direct`` integrator (BASELINE config #1: "direct lighting only") and via
+``RenderSettings.next_event_estimation``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..config import F32_MAX, RenderSettings, ShadingType
+from ..models.scene import SceneTables
+from . import rng
+from .envmap import sample_environment
+from .traverse import Hit, trace_any, trace_closest
+
+_ORIGIN = 1.0 / 32.0
+_FLOAT_SCALE = 1.0 / 65536.0
+_INT_SCALE = 256.0
+
+
+def _bitcast_i32(x):
+    import jax
+
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _bitcast_f32(x):
+    import jax
+
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+
+def offset_ray(p: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """Self-intersection-safe point offset along the geometric normal,
+    after Ray Tracing Gems ch. 6 (the technique the reference cites at
+    render.ts:871-875). NOTE: the reference's WGSL (render.ts:905-917) has
+    both of the paper's ``select`` conditions inverted — a bug that offsets
+    tiny-|p| points in the wrong direction; this implements the paper's
+    (correct) version, which only changes epsilon-scale self-intersection
+    behavior, not the converged image."""
+    of_i = (_INT_SCALE * n).astype(jnp.int32)
+    p_int = _bitcast_f32(
+        _bitcast_i32(p) + jnp.where(p < 0.0, -of_i, of_i)
+    )
+    p_float = p + _FLOAT_SCALE * n
+    return jnp.where(jnp.abs(p) < _ORIGIN, p_float, p_int)
+
+
+def face_point(tri_row: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """facePoint (render.ts:876-882): p0 + e1*u + e2*v from barycentrics."""
+    p0 = tri_row[..., 0:3]
+    e1 = tri_row[..., 3:6]
+    e2 = tri_row[..., 6:9]
+    return p0 + e1 * u[..., None] + e2 * v[..., None]
+
+
+def face_point_offset(tri_row, shade_row, u, v):
+    """facePointOffset (render.ts:883-889): offset along the geometric
+    face normal."""
+    p = face_point(tri_row, u, v)
+    fn = shade_row[..., 0:3]
+    return offset_ray(p, fn)
+
+
+def face_normal(shade_row, u, v, shading: ShadingType):
+    """faceNormal (render.ts:891-900). Phong interpolation does NOT
+    normalize (parity with the WGSL)."""
+    if shading == ShadingType.PHONG:
+        n0 = shade_row[..., 3:6]
+        n1 = shade_row[..., 6:9]
+        n2 = shade_row[..., 9:12]
+        w = (1.0 - u - v)[..., None]
+        return n0 * w + n1 * u[..., None] + n2 * v[..., None]
+    return shade_row[..., 0:3]
+
+
+class LightSample(NamedTuple):
+    p: jnp.ndarray  # (R,) 1/pdf
+    point: jnp.ndarray  # (R, 3)
+    normal: jnp.ndarray  # (R, 3)
+    material_idx: jnp.ndarray  # (R,) i32
+
+
+def sample_lights(state, tables: SceneTables, settings: RenderSettings):
+    """sampleLights → sampleModel(models[0]) → sampleFace
+    (render.ts:849-869). Model 0 is the light by scene contract."""
+    offset = tables.model_face_offset[0]
+    count = tables.model_face_count[0]
+    u1, state = rng.random_1u(state)
+    face_idx = offset + (u1 % count.astype(jnp.uint32)).astype(jnp.int32)
+    t2, state = rng.random_2(state)
+    uv = rng.sample_intriangle(t2)
+    u, v = uv[..., 0], uv[..., 1]
+    tri = jnp.take(tables.tri, face_idx, axis=0)
+    shade = jnp.take(tables.shade_normal, face_idx, axis=0)
+    point = face_point_offset(tri, shade, u, v)
+    normal = face_normal(shade, u, v, settings.shading_type)
+    # 1/pdf = area-ish factor |cross(e1, e2)|/2 × face count
+    # (render.ts:862-869; the reference uses cross of the stored edge slots)
+    cr = jnp.cross(tri[..., 3:6], tri[..., 6:9])
+    area = jnp.sqrt(jnp.sum(cr * cr, axis=-1)) / 2.0
+    p = area * count.astype(jnp.float32)
+    mat = jnp.take(tables.face_material, face_idx, axis=0)
+    return LightSample(p=p, point=point, normal=normal, material_idx=mat), state
+
+
+def direct_light(
+    point: jnp.ndarray,  # (R, 3) shading point (already offset)
+    normal: jnp.ndarray,  # (R, 3) shading normal
+    state: jnp.ndarray,
+    tables: SceneTables,
+    settings: RenderSettings,
+    active: jnp.ndarray | None = None,
+):
+    """pointColor (render.ts:1143-1157): one-or-more light samples with
+    shadow rays; emission × cosine / r² × (1/pdf)."""
+    r = point.shape[0]
+    color = jnp.zeros((r, 3), jnp.float32)
+    for _ in range(settings.samples_per_point):
+        ls, state = sample_lights(state, tables, settings)
+        ds = ls.point - point
+        d_sq = jnp.sum(ds * ds, axis=-1)
+        inv_d = 1.0 / jnp.sqrt(jnp.maximum(d_sq, 1e-20))
+        dirn = ds * inv_d[..., None]
+        shadowed = trace_any(
+            point, dirn, jnp.sqrt(jnp.maximum(d_sq, 0.0)), tables, active
+        )
+        vis = jnp.where(shadowed, 0.0, 1.0)
+        cosine = jnp.maximum(jnp.sum(dirn * normal, axis=-1), 0.0)
+        emission = jnp.take(tables.mat_emission, ls.material_idx, axis=0)
+        contrib = (vis * cosine * ls.p / jnp.maximum(d_sq, 1e-20))[..., None]
+        color = color + emission * contrib
+    return color / float(settings.samples_per_point), state
+
+
+class PathResult(NamedTuple):
+    color: jnp.ndarray  # (R, 3)
+    state: jnp.ndarray  # (R,) uint32
+    first_hit: Hit  # primary-segment hit (G-buffer source)
+    rays: jnp.ndarray  # () f32: rays actually traced (bench accounting)
+
+
+def path_trace(
+    o: jnp.ndarray,  # (R, 3)
+    d: jnp.ndarray,  # (R, 3)
+    t_max0: jnp.ndarray,  # (R,) primary-segment bound (hit-dist predictor)
+    state: jnp.ndarray,  # (R,) uint32
+    tables: SceneTables,
+    env_data,
+    settings: RenderSettings,
+) -> PathResult:
+    """pixelColor (render.ts:1167-1212), wavefront-unrolled."""
+    r = o.shape[0]
+    color = jnp.zeros((r, 3), jnp.float32)
+    throughput = jnp.ones((r, 3), jnp.float32)
+    alive = jnp.ones((r,), bool)
+    first_hit = None
+    rays = jnp.zeros((), jnp.float32)
+
+    n_segments = max(settings.bounces_depth - 1, 0)
+    for seg in range(n_segments):
+        rays = rays + jnp.sum(alive.astype(jnp.float32))
+        t_max = t_max0 if seg == 0 else jnp.full((r,), F32_MAX, jnp.float32)
+        hit = trace_closest(o, d, t_max, tables, active=alive)
+        if seg == 0:
+            first_hit = hit
+
+        found = hit.face >= 0
+        # miss → environment radiance, path ends (render.ts:1183-1186)
+        miss = alive & ~found
+        env = sample_environment(env_data, d, settings.environment)
+        color = jnp.where(miss[..., None], color + env * throughput, color)
+
+        h = alive & found
+        face = jnp.maximum(hit.face, 0)
+        mat = jnp.take(tables.face_material, face, axis=0)
+        emission = jnp.take(tables.mat_emission, mat, axis=0)
+        albedo = jnp.take(tables.mat_color, mat, axis=0)
+        color = jnp.where(h[..., None], color + emission * throughput, color)
+        throughput = jnp.where(h[..., None], throughput * albedo, throughput)
+
+        tri = jnp.take(tables.tri, face, axis=0)
+        shade = jnp.take(tables.shade_normal, face, axis=0)
+        n = face_normal(shade, hit.u, hit.v, settings.shading_type)
+        new_o = face_point_offset(tri, shade, hit.u, hit.v)
+
+        if settings.next_event_estimation:
+            nee, state = direct_light(
+                new_o, n, state, tables, settings, active=h
+            )
+            color = jnp.where(
+                h[..., None], color + nee * throughput, color
+            )
+            rays = rays + jnp.sum(h.astype(jnp.float32)) * float(
+                settings.samples_per_point
+            )
+
+        t2, s2 = rng.random_2(state)
+        state = rng.masked_advance(state, s2, h)
+        new_d = rng.sample_cosine_weighted_hemisphere(t2, n)
+
+        # russian roulette (render.ts:1201-1208)
+        p = jnp.max(throughput, axis=-1)
+        r1, s3 = rng.random_1(state)
+        state = rng.masked_advance(state, s3, h)
+        survive = r1 <= p
+        throughput = jnp.where(
+            (h & survive)[..., None],
+            throughput / jnp.maximum(p, 1e-20)[..., None],
+            throughput,
+        )
+
+        alive = h & survive
+        o = jnp.where(alive[..., None], new_o, o)
+        d = jnp.where(alive[..., None], new_d, d)
+
+    if first_hit is None:
+        first_hit = Hit(
+            t=jnp.full((r,), F32_MAX, jnp.float32),
+            u=jnp.zeros((r,), jnp.float32),
+            v=jnp.zeros((r,), jnp.float32),
+            face=jnp.full((r,), -1, jnp.int32),
+        )
+    return PathResult(
+        color=color, state=state, first_hit=first_hit, rays=rays
+    )
+
+
+def trace_direct(
+    o, d, t_max0, state, tables, env_data, settings: RenderSettings
+) -> PathResult:
+    """Direct-lighting-only integrator (BASELINE config #1): one primary
+    hit, emission + NEE, environment on miss."""
+    r = o.shape[0]
+    hit = trace_closest(o, d, t_max0, tables)
+    found = hit.face >= 0
+    env = sample_environment(env_data, d, settings.environment)
+    color = jnp.where(found[..., None], 0.0, env)
+
+    face = jnp.maximum(hit.face, 0)
+    mat = jnp.take(tables.face_material, face, axis=0)
+    emission = jnp.take(tables.mat_emission, mat, axis=0)
+    albedo = jnp.take(tables.mat_color, mat, axis=0)
+    tri = jnp.take(tables.tri, face, axis=0)
+    shade = jnp.take(tables.shade_normal, face, axis=0)
+    n = face_normal(shade, hit.u, hit.v, settings.shading_type)
+    point = face_point_offset(tri, shade, hit.u, hit.v)
+
+    nee, state = direct_light(point, n, state, tables, settings, active=found)
+    lit = emission + albedo * nee
+    color = jnp.where(found[..., None], lit, color)
+    rays = jnp.asarray(
+        r * (1 + settings.samples_per_point), jnp.float32
+    )
+    return PathResult(color=color, state=state, first_hit=hit, rays=rays)

@@ -1,0 +1,90 @@
+"""Ray–primitive intersection (vectorized over ray batches).
+
+Möller–Trumbore on pre-stored edge vectors with backface culling, matching
+the WGSL kernel (render.ts:346-410): reject when ``det < EPSILON²`` (which
+culls backfaces *and* parallel rays — the reason all geometry is duplicated
+two-sided at load), barycentric ``u, v`` tested against ``det`` before the
+division, and a strict ``t`` interval (render.ts:401 intervalSurrounds).
+
+AABB slab test per render.ts:412-431, with one correctness-preserving fix:
+the reference's ``intervalOverlap`` (render.ts:322-323) ORs its two
+conditions, so nodes entirely *behind* the ray still get visited; here the
+test also requires ``far > min_dist``. This changes which nodes are
+traversed, never which triangle wins — the triangle test's strict positive
+interval already rejected those hits.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..config import EPSILON, F32_MAX, MIN_DIST
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def _cross(a, b):
+    return jnp.cross(a, b)
+
+
+class TriangleHit(NamedTuple):
+    hit: jnp.ndarray  # (R,) bool
+    t: jnp.ndarray  # (R,) f32
+    u: jnp.ndarray  # (R,) f32
+    v: jnp.ndarray  # (R,) f32
+
+
+def ray_triangle(
+    o: jnp.ndarray,  # (R, 3) ray origin
+    d: jnp.ndarray,  # (R, 3) ray direction
+    p0: jnp.ndarray,  # (R, 3) triangle base vertex
+    e1: jnp.ndarray,  # (R, 3) edge 1
+    e2: jnp.ndarray,  # (R, 3) edge 2
+    t_min: jnp.ndarray | float,
+    t_max: jnp.ndarray | float,
+) -> TriangleHit:
+    """Möller–Trumbore with backface culling (render.ts:359-409)."""
+    h = _cross(d, e2)
+    det = _dot(e1, h)
+    s = o - p0
+    u = _dot(s, h)
+    q = _cross(s, e1)
+    v = _dot(d, q)
+    t = _dot(e2, q)
+
+    culled = det < EPSILON * EPSILON
+    bary_ok = (u >= 0.0) & (u <= det) & (v >= 0.0) & (u + v <= det)
+    inv_det = 1.0 / jnp.where(culled, 1.0, det)
+    tt = t * inv_det
+    uu = u * inv_det
+    vv = v * inv_det
+    inside = (tt > t_min) & (tt < t_max)  # strict (intervalSurrounds)
+    hit = (~culled) & bary_ok & inside
+    return TriangleHit(
+        hit=hit,
+        t=jnp.where(hit, tt, F32_MAX),
+        u=jnp.where(hit, uu, 0.0),
+        v=jnp.where(hit, vv, 0.0),
+    )
+
+
+def ray_aabb(
+    o: jnp.ndarray,  # (R, 3)
+    inv_d: jnp.ndarray,  # (R, 3) precomputed 1/d (inf on zero components)
+    bmin: jnp.ndarray,  # (R, 3)
+    bmax: jnp.ndarray,  # (R, 3)
+    t_max: jnp.ndarray,  # (R,) current best hit distance
+):
+    """Branchless slab test (render.ts:419-430). Returns (hit, near)."""
+    t0 = (bmin - o) * inv_d
+    t1 = (bmax - o) * inv_d
+    tmin = jnp.minimum(t0, t1)
+    tmax = jnp.maximum(t0, t1)
+    near = jnp.max(tmin, axis=-1)
+    far = jnp.min(tmax, axis=-1)
+    hit = (near < far) & (near < t_max) & (far > MIN_DIST)
+    return hit, near

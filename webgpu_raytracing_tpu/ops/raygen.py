@@ -1,0 +1,135 @@
+"""Camera ray generation — all four reference projections + thin lens.
+
+Parity with the WGSL raygen module (render.ts:642-766): pinhole, Panini,
+fisheye, orthographic; FoV-orientation normalization
+(horizontal/vertical/diagonal, render.ts:749-758); thin-lens depth of field
+with circle/square bokeh (render.ts:695-702, 740-747); and the exact
+``ray_transform`` into world space (render.ts:731-738), including its
+``dir.z * ray_pos.w`` quirk (a no-op for affine view matrices, kept for
+fidelity). Quirks replicated on purpose: Panini multiplies the half-FoV
+scaled coordinate by the half-Panini-FoV again (render.ts:659-661), and the
+fisheye looks down +z while the others look down -z (render.ts:680-689).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ..config import FovOrientation, LensShape, ProjectionType, RenderSettings
+from . import rng
+
+
+def _normalize(v):
+    return v / jnp.maximum(
+        jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True)), 1e-20
+    )
+
+
+def pinhole_dir(uv: jnp.ndarray, fov: float) -> jnp.ndarray:
+    z = -1.0 / jnp.tan(fov / 2.0)
+    return _normalize(
+        jnp.stack(
+            [uv[..., 0], uv[..., 1], jnp.full_like(uv[..., 0], z)], axis=-1
+        )
+    )
+
+
+def panini_dir(
+    uv: jnp.ndarray, fov: float, panini_distance: float, vertical_compression: float
+) -> jnp.ndarray:
+    half_fov = fov / 2.0
+    hv = uv * half_fov
+    half_panini_fov = jnp.arctan2(
+        jnp.sin(half_fov), jnp.cos(half_fov) + panini_distance
+    )
+    hv_pan = hv * half_panini_fov
+    sx = jnp.sin(hv_pan[..., 0])
+    cx = jnp.cos(hv_pan[..., 0])
+    m = (
+        jnp.sqrt(jnp.maximum(1.0 - jnp.square(sx * panini_distance), 0.0))
+        + panini_distance * cx
+    )
+    x = sx * m
+    z = cx * m - panini_distance
+    y = jnp.tan(hv_pan[..., 1]) * (
+        z + panini_distance * (1.0 - vertical_compression)
+    )
+    return _normalize(jnp.stack([x, y, -z], axis=-1))
+
+
+def fisheye_dir(uv: jnp.ndarray, fov: float) -> jnp.ndarray:
+    angle = uv * (fov / 2.0)
+    ax, ay = angle[..., 0], angle[..., 1]
+    return _normalize(
+        jnp.stack(
+            [-jnp.sin(ax), -jnp.sin(ay) * jnp.cos(ax), jnp.cos(ay) * jnp.cos(ax)],
+            axis=-1,
+        )
+    )
+
+
+def camera_rays(
+    pos: jnp.ndarray,  # (R, 2) pixel coordinates (jittered)
+    view: jnp.ndarray,  # (4, 4) view matrix (camera → world)
+    state: jnp.ndarray,  # (R,) uint32 RNG state
+    settings: RenderSettings,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """cameraRay (render.ts:749-765). Returns (origin, direction, state)."""
+    viewport = jnp.array(
+        [settings.width, settings.height], dtype=jnp.float32
+    )
+    uv = 2.0 * pos - viewport
+    if settings.fov_orientation == FovOrientation.VERTICAL:
+        uv = uv / viewport[1]
+    elif settings.fov_orientation == FovOrientation.HORIZONTAL:
+        uv = uv / viewport[0]
+    else:
+        uv = uv / jnp.sqrt(jnp.sum(viewport * viewport))
+
+    proj = settings.projection_type
+    if proj == ProjectionType.PANINI:
+        d = panini_dir(
+            uv, settings.fov, settings.panini_distance, settings.vertical_compression
+        )
+    elif proj == ProjectionType.PERSPECTIVE:
+        d = pinhole_dir(uv, settings.fov)
+    elif proj == ProjectionType.FISHEYE:
+        d = fisheye_dir(uv, settings.fov)
+    else:  # orthographic
+        d = jnp.broadcast_to(
+            jnp.array([0.0, 0.0, -1.0], jnp.float32), uv.shape[:-1] + (3,)
+        )
+
+    # sampleLens (render.ts:740-747): always draws random_2.
+    t2, state = rng.random_2(state)
+    if settings.lens_shape == LensShape.CIRCLE:
+        lens = rng.sample_incircle(t2)
+    else:
+        lens = rng.sample_insquare(t2)
+
+    # thinLensRay (render.ts:695-702)
+    o = jnp.concatenate(
+        [lens * settings.circle_of_confusion, jnp.zeros_like(lens[..., :1])],
+        axis=-1,
+    )
+    focus = -d * (settings.focus_distance / d[..., 2:3])
+    d = _normalize(focus - o)
+
+    if proj == ProjectionType.ORTHOGRAPHIC:
+        # cameraRayPosition (render.ts:724-729)
+        fov_distance = settings.fov / jnp.pi * 4.0
+        o = o + jnp.concatenate(
+            [uv * fov_distance, jnp.zeros_like(uv[..., :1])], axis=-1
+        )
+
+    # ray_transform (render.ts:731-738)
+    ones = jnp.ones_like(o[..., :1])
+    oh = jnp.concatenate([o, ones], axis=-1) @ view.T  # (R, 4)
+    o_w = oh[..., :3]
+    d = _normalize(
+        jnp.concatenate([d[..., :2], d[..., 2:3] * oh[..., 3:4]], axis=-1)
+    )
+    d_w = d @ view[:3, :3].T
+    return o_w, d_w, state
