@@ -17,11 +17,24 @@ import time
 
 def main():
     import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            "/tmp/jax_cache_webgpu_raytracing_tpu",
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from webgpu_raytracing_tpu.config import RenderSettings
     from webgpu_raytracing_tpu.models.scene import load_scene
-    from webgpu_raytracing_tpu.renderer import FrameBuffers, render_frame
+    from webgpu_raytracing_tpu.renderer import (
+        FrameBuffers,
+        FrameInputs,
+        render_frame,
+    )
 
     width, height = 1920, 1080
     settings = RenderSettings(
@@ -39,12 +52,10 @@ def main():
     env = jnp.zeros((1, 1, 3), jnp.float32)
     buffers = FrameBuffers.create(width, height)
     view = jnp.eye(4, dtype=jnp.float32)
-    jitter = jnp.zeros((2,), jnp.float32)
 
     # warmup / compile
     buffers, rays = render_frame(
-        buffers, tables, env, view, jnp.uint32(1), jnp.int32(0), jitter,
-        settings,
+        buffers, tables, env, FrameInputs.simple(view, 1, 0), settings
     )
     jax.block_until_ready(buffers.image)
 
@@ -56,10 +67,7 @@ def main():
             buffers,
             tables,
             env,
-            view,
-            jnp.uint32(2654435761 * (k + 2) % (2**32)),
-            jnp.int32(k + 1),
-            jitter,
+            FrameInputs.simple(view, 2654435761 * (k + 2) % (2**32), k + 1),
             settings,
         )
         total_rays += float(rays)  # forces sync per frame

@@ -1,0 +1,169 @@
+"""Renderer-level tests: accumulation semantics, determinism, the furnace
+(energy-conservation) test, predictor invariance, and sharded-vs-single
+equality — the integration layer of the test pyramid (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from webgpu_raytracing_tpu.config import RenderSettings
+from webgpu_raytracing_tpu.models.scene import scene_from_facesets
+from webgpu_raytracing_tpu.models.test_models import (
+    ground_plane,
+    uv_sphere,
+)
+from webgpu_raytracing_tpu.renderer import Renderer
+
+
+def _mini_scene():
+    return scene_from_facesets(
+        [
+            ("light", uv_sphere((0, 3, -4), 0.5, material_idx=1, lat=4, lon=6)),
+            ("sphere", uv_sphere((0, 0, -4), 1.0, lat=6, lon=8)),
+            ("plane", ground_plane(-1.5, 8.0)),
+        ],
+        np.array([[0.8, 0.4, 0.3], [0, 0, 0]], np.float32),
+        np.array([[0, 0, 0], [6, 6, 6]], np.float32),
+    )
+
+
+SMALL = RenderSettings(
+    width=16, height=16, bounces_depth=3, sample_count=0,
+    environment="procedural",
+)
+
+
+def test_accumulation_counts():
+    r = Renderer(_mini_scene(), SMALL, base_seed=1)
+    r.step()
+    img = np.asarray(r.buffers.image)
+    assert (img[..., 3] == 1.0).all()
+    r.step()
+    img = np.asarray(r.buffers.image)
+    assert (img[..., 3] == 2.0).all()
+    # reset → clear on next frame
+    r.reset()
+    r.step()
+    img = np.asarray(r.buffers.image)
+    assert (img[..., 3] == 1.0).all()
+
+
+def test_determinism():
+    a = Renderer(_mini_scene(), SMALL, base_seed=42)
+    b = Renderer(_mini_scene(), SMALL, base_seed=42)
+    a.step()
+    b.step()
+    np.testing.assert_array_equal(
+        np.asarray(a.buffers.image), np.asarray(b.buffers.image)
+    )
+
+
+def test_image_finite_and_oriented():
+    r = Renderer(_mini_scene(), SMALL, base_seed=1)
+    r.step()
+    img = r.image()
+    assert img.shape == (16, 16, 3)
+    assert np.isfinite(img).all()
+    assert img.max() <= 1.0 and img.min() >= 0.0
+    # light is at world +y → must be in the TOP half of the display image
+    gf = np.asarray(r.buffers.geo_face)[::-1]  # display orientation
+    light_rows = np.nonzero((gf >= 0) & (gf < 48))[0]
+    if len(light_rows):
+        assert light_rows.mean() < 8
+
+
+def test_predictor_invariance():
+    """The quad hit-distance predictor is a pure traversal bound: frame
+    images with and without it must be identical (render.ts:1121-1141 is
+    a speedup, not a semantic change)."""
+    a = Renderer(_mini_scene(), SMALL.replace(use_hit_predictor=True), base_seed=9)
+    b = Renderer(_mini_scene(), SMALL.replace(use_hit_predictor=False), base_seed=9)
+    for _ in range(2):  # second frame exercises a populated prev G-buffer
+        a.step()
+        b.step()
+    np.testing.assert_array_equal(
+        np.asarray(a.buffers.image), np.asarray(b.buffers.image)
+    )
+
+
+@pytest.mark.slow
+def test_furnace():
+    """Furnace test: a Lambertian sphere of albedo a under a uniform
+    unit-radiance environment must converge to pixel value a (energy
+    conservation of the cosine-sampled bounce + Russian roulette)."""
+    albedo = 0.5
+    scene = scene_from_facesets(
+        [("sphere", uv_sphere((0, 0, -4), 1.0, lat=24, lon=48))],
+        np.array([[albedo] * 3], np.float32),
+        np.zeros((1, 3), np.float32),
+    )
+    from webgpu_raytracing_tpu.config import ProjectionType
+
+    st = RenderSettings(
+        width=24,
+        height=24,
+        bounces_depth=8,
+        sample_count=3,
+        environment="white",
+        use_hit_predictor=False,
+        projection_type=ProjectionType.PERSPECTIVE,
+        fov=0.6,
+    )
+    r = Renderer(scene, st, base_seed=11)
+    for _ in range(24):
+        r.step()
+    img = np.asarray(r.buffers.image)
+    raw = img[..., :3] / np.maximum(img[..., 3:], 1)
+    gf = np.asarray(r.buffers.geo_face)
+    on_sphere = gf >= 0
+    # only use pixels whose primary ray hit the sphere
+    mean = raw[on_sphere].mean()
+    assert on_sphere.sum() > 30
+    assert abs(mean - albedo) < 0.03, mean
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    r = Renderer(_mini_scene(), SMALL, base_seed=5)
+    r.step()
+    r.step()
+    path = str(tmp_path / "ckpt.npz")
+    r.save_checkpoint(path)
+    r2 = Renderer(_mini_scene(), SMALL, base_seed=5)
+    r2.load_checkpoint(path)
+    assert r2.counter == 2
+    np.testing.assert_array_equal(
+        np.asarray(r.buffers.image), np.asarray(r2.buffers.image)
+    )
+
+
+def test_sharded_matches_single_chip():
+    """Row-sharded multi-device render must be bit-identical to the
+    single-chip image (global pixel RNG indexing)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    from webgpu_raytracing_tpu.parallel.shard import make_mesh, render_sharded
+    from webgpu_raytracing_tpu.renderer import (
+        FrameBuffers,
+        FrameInputs,
+        render_frame,
+    )
+
+    scene = _mini_scene()
+    tables = scene.tables()
+    st = SMALL.replace(width=16, height=16, use_hit_predictor=False)
+    env = jnp.zeros((1, 1, 3), jnp.float32)
+
+    single, _ = render_frame(
+        FrameBuffers.create(16, 16),
+        tables,
+        env,
+        FrameInputs.simple(jnp.eye(4, dtype=jnp.float32), 1, 0),
+        st,
+    )
+    mesh = make_mesh(4)
+    sharded, rays = render_sharded(tables, env, st, n_frames=1, mesh=mesh)
+    np.testing.assert_array_equal(
+        np.asarray(single.image), np.asarray(sharded.image)
+    )
+    assert rays > 0

@@ -125,6 +125,9 @@ class RenderSettings:
     debug_reprojection: bool = False
 
     # --- extensions beyond the reference ---
+    # Quad hit-distance predictor (pixelHitDist, render.ts:1121-1141).
+    # Always on in the reference; exposed as a flag for ablation.
+    use_hit_predictor: bool = True
     # Next-event estimation. The reference ships the NEE chain
     # (``pointColor``/``sampleLights`` render.ts:1143-1157, 849-869) but
     # never calls it from the megakernel main; default off for parity.

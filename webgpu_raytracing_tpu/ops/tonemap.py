@@ -26,9 +26,14 @@ def srgb_to_linear(x):
 
 
 def aces(x):
-    """Narkowicz 2015 ACES approximation."""
+    """Narkowicz 2015 ACES approximation.
+
+    NOTE: the reference (tonemapping.ts:24-31) saturates only the
+    *numerator*, which makes its curve non-monotone — radiance above ~0.63
+    maps to progressively darker output. This implements the published
+    curve (saturate the ratio) instead."""
     a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
-    return jnp.clip(x * (a * x + b), 0.0, 1.0) / (x * (c * x + d) + e)
+    return jnp.clip((x * (a * x + b)) / (x * (c * x + d) + e), 0.0, 1.0)
 
 
 def filmic(x):

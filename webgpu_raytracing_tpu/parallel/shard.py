@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import RenderSettings
 from ..models.scene import SceneTables
-from ..renderer import FrameBuffers, render_tile
+from ..renderer import FrameBuffers, FrameInputs, render_tile
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "rows") -> Mesh:
@@ -61,29 +61,22 @@ def sharded_render_frame(mesh: Mesh, settings: RenderSettings):
         )
     rows_per_device = settings.height // n
 
-    def per_device(buffers, tables, env_data, view, seed, counter, jitter):
+    def per_device(buffers, tables, env_data, inputs):
         row0 = jax.lax.axis_index("rows").astype(jnp.int32) * rows_per_device
         out, rays = render_tile(
-            buffers,
-            tables,
-            env_data,
-            view,
-            seed,
-            counter,
-            jitter,
-            row0,
-            settings,
+            buffers, tables, env_data, inputs, row0, settings,
             rows_per_device,
         )
         return out, jax.lax.psum(rays, "rows")
 
+    import dataclasses as _dc
+
     buf_spec = FrameBuffers(
-        image=P("rows"),
-        geo_position=P("rows"),
-        geo_face=P("rows"),
-        geo_object=P("rows"),
+        **{f.name: P("rows") for f in _dc.fields(FrameBuffers)}
     )
-    tab_spec = jax.tree.map(lambda _: P(), SceneTables.__dataclass_fields__)
+    inputs_spec = FrameInputs(
+        **{f.name: P() for f in _dc.fields(FrameInputs)}
+    )
 
     shmapped = jax.shard_map(
         per_device,
@@ -92,15 +85,11 @@ def sharded_render_frame(mesh: Mesh, settings: RenderSettings):
             buf_spec,
             jax.tree.map(lambda _: P(), _tables_struct()),
             P(),
-            P(),
-            P(),
-            P(),
-            P(),
+            inputs_spec,
         ),
         out_specs=(buf_spec, P()),
         check_vma=False,
     )
-    del tab_spec
     return jax.jit(shmapped, donate_argnums=(0,))
 
 
@@ -129,18 +118,14 @@ def render_sharded(
     )
     tables = replicate(scene_tables, mesh)
     env = replicate(jnp.asarray(env_data), mesh)
-    view = jnp.eye(4, dtype=jnp.float32)
-    jitter = jnp.zeros((2,), jnp.float32)
     total_rays = 0.0
     for k in range(n_frames):
-        buffers, rays = fn(
-            buffers,
-            tables,
-            env,
-            view,
-            jnp.uint32((seed0 + k * 2654435761) % (2**32)),
-            jnp.int32(k),
-            jitter,
+        inputs = FrameInputs.simple(
+            jnp.eye(4, dtype=jnp.float32),
+            (seed0 + k * 2654435761) % (2**32),
+            k,
         )
+        inputs = replicate(inputs, mesh)
+        buffers, rays = fn(buffers, tables, env, inputs)
         total_rays += float(rays)
     return buffers, total_rays

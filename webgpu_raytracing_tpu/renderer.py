@@ -2,18 +2,18 @@
 
 The reference's per-frame flow (render.ts:1651-1710) writes seed / counter
 / jitter uniforms, dispatches the megakernel over 16×16 workgroups, blits
-with tonemapping, and rotates prev-frame buffers. Here:
+with tonemapping, and rotates prev-frame buffers with buffer-to-buffer
+copies. TPU-native shape:
 
 * the accumulation image is an explicit ``(H, W, 4)`` array — rgb sum in
-  ``[..., :3]`` and accumulated sample count in ``[..., 3]``, exactly the
-  reference image-buffer layout (render.ts:124-140, 1506-1507) — threaded
-  through a donated, jitted ``render_frame``;
-* "clear on counter == 0" (render.ts:1454-1459) becomes a traced select;
-* config changes retrace (static ``RenderSettings``), camera motion only
-  feeds a new view matrix — mirroring the reference's
-  recompile-vs-uniform-write split (§5 of SURVEY.md);
-* the G-buffer (position / faceIdx / objectIdx per pixel,
-  render.ts:142-158, 1470-1475) is produced for the temporal layer;
+  ``[..., :3]``, accumulated sample count in ``[..., 3]`` — exactly the
+  reference image-buffer layout (render.ts:124-140, 1506-1507), threaded
+  through a donated, jitted frame function;
+* "clear on counter == 0" (render.ts:1454-1459) is a traced select;
+* config changes retrace (static ``RenderSettings``); camera motion only
+  feeds a new view matrix — the reference's recompile-vs-uniform split;
+* prev-frame rotation (render.ts:1694-1699 copyBufferToBuffer ×4) is a
+  host-side functional swap — no device copies at all;
 * the pixel dimension is the scaling axis: :func:`render_tile` renders any
   horizontal slab given its global row offset, so multi-chip sharding
   (``parallel/``) is the same code over a row-sharded mesh.
@@ -34,7 +34,9 @@ from .config import F32_MAX, BlitView, RenderSettings
 from .models.scene import Scene, SceneTables
 from .ops import rng
 from .ops.integrator import face_point_offset, path_trace, trace_direct
+from .ops.predictor import predict_hit_dist, quad_faces
 from .ops.raygen import camera_rays
+from .ops.reproject import reproject, reprojection_frustum
 from .ops.tonemap import apply as tonemap_apply
 from .ops.tonemap import gamma as tonemap_gamma
 
@@ -43,20 +45,64 @@ from .ops.tonemap import gamma as tonemap_gamma
 @dataclasses.dataclass(frozen=True)
 class FrameBuffers:
     """Persistent HBM-resident frame state (the reference's storage
-    buffers, render.ts:122-159)."""
+    buffers, render.ts:122-159): current accumulation image + G-buffer and
+    the previous-frame snapshots used by the temporal layer."""
 
     image: jax.Array  # (H, W, 4) f32: rgb sum, sample count
     geo_position: jax.Array  # (H, W, 3) f32
     geo_face: jax.Array  # (H, W) i32
     geo_object: jax.Array  # (H, W) i32
+    prev_image: jax.Array  # (H, W, 4) f32
+    prev_geo_position: jax.Array  # (H, W, 3) f32
+    prev_geo_face: jax.Array  # (H, W) i32
 
     @staticmethod
     def create(width: int, height: int) -> "FrameBuffers":
         return FrameBuffers(
             image=jnp.zeros((height, width, 4), jnp.float32),
             geo_position=jnp.zeros((height, width, 3), jnp.float32),
-            geo_face=jnp.zeros((height, width), jnp.int32),
+            geo_face=jnp.full((height, width), -1, jnp.int32),
             geo_object=jnp.zeros((height, width), jnp.int32),
+            prev_image=jnp.zeros((height, width, 4), jnp.float32),
+            prev_geo_position=jnp.zeros((height, width, 3), jnp.float32),
+            prev_geo_face=jnp.full((height, width), -1, jnp.int32),
+        )
+
+    def rotated(self) -> "FrameBuffers":
+        """Prev-buffer rotation (the updatePrev copy set,
+        render.ts:1694-1699). Real device copies, like the reference's
+        copyBufferToBuffer — required so the donated frame step never sees
+        the same buffer aliased twice."""
+        return dataclasses.replace(
+            self,
+            prev_image=jnp.copy(self.image),
+            prev_geo_position=jnp.copy(self.geo_position),
+            prev_geo_face=jnp.copy(self.geo_face),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FrameInputs:
+    """Per-frame traced values (the reference's uniforms,
+    render.ts:57-106, 1658-1665)."""
+
+    view: jax.Array  # (4, 4) f32
+    seed: jax.Array  # () uint32
+    counter: jax.Array  # () int32
+    jitter: jax.Array  # (2,) f32
+    frustum: jax.Array  # (4, 3) f32 reprojection frustum of prev view
+    prev_origin: jax.Array  # (3,) f32 translation column of prev view
+
+    @staticmethod
+    def simple(view, seed, counter) -> "FrameInputs":
+        return FrameInputs(
+            view=jnp.asarray(view, jnp.float32),
+            seed=jnp.uint32(seed),
+            counter=jnp.int32(counter),
+            jitter=jnp.zeros((2,), jnp.float32),
+            frustum=jnp.zeros((4, 3), jnp.float32),
+            prev_origin=jnp.zeros((3,), jnp.float32),
         )
 
 
@@ -74,10 +120,7 @@ def render_tile(
     buffers: FrameBuffers,  # slab buffers: (h_tile, W, …)
     tables: SceneTables,
     env_data,
-    view: jax.Array,  # (4, 4) f32
-    seed: jax.Array,  # () uint32
-    counter: jax.Array,  # () int32
-    jitter: jax.Array,  # (2,) f32
+    inputs: FrameInputs,
     row0: jax.Array,  # () i32 global row offset of this slab
     settings: RenderSettings,
     tile_height: int,
@@ -100,37 +143,52 @@ def render_tile(
     idx = (xs + ys * w).reshape(r)  # imageIdx (render.ts:1258-1260)
     base_pos = (
         jnp.stack([xs, ys], axis=-1).reshape(r, 2).astype(jnp.float32)
-        + jitter[None, :]
+        + inputs.jitter[None, :]
     )
 
-    state = rng.seed_state(jnp.broadcast_to(seed, (r,)), idx)
+    state = rng.seed_state(jnp.broadcast_to(inputs.seed, (r,)), idx)
 
     # clear on counter == 0 (render.ts:1454-1459)
-    clear = (counter == 0) & (not settings.reproject)
+    clear = (inputs.counter == 0) & (not settings.reproject)
     image = jnp.where(clear, jnp.zeros_like(buffers.image), buffers.image)
 
-    color = jnp.zeros((r, 3), jnp.float32)
-    samples = 0
-    rays = jnp.zeros((), jnp.float32)
+    # quad-based hit-distance candidates from the previous G-buffer
+    # (render.ts:1121-1141, 1440-1446)
+    prev_quads = (
+        quad_faces(buffers.prev_geo_face).reshape(r, 4)
+        if settings.use_hit_predictor
+        else None
+    )
 
     integrator = trace_direct if settings.bounces_depth <= 1 else path_trace
 
+    def one_sample(pos, state):
+        o, d, state = camera_rays(pos, inputs.view, state, settings)
+        if prev_quads is not None:
+            t_max = predict_hit_dist(o, d, prev_quads, tables)
+        else:
+            t_max = jnp.full((r,), F32_MAX, jnp.float32)
+        res = integrator(o, d, t_max, state, tables, env_data, settings)
+        return res
+
+    color = jnp.zeros((r, 3), jnp.float32)
+    samples = jnp.zeros((r, 1), jnp.float32)
+    rays = jnp.zeros((), jnp.float32)
+
     # primary sample (render.ts:1464-1468)
-    o, d, state = camera_rays(base_pos, view, state, settings)
-    t_max = jnp.full((r,), F32_MAX, jnp.float32)
-    res = integrator(o, d, t_max, state, tables, env_data, settings)
+    res = one_sample(base_pos, state)
     state = res.state
     color = color + res.color
     rays = rays + res.rays
-    samples += 1
+    samples = samples + 1.0
 
     # G-buffer write from the primary hit (render.ts:1470-1475)
     fh = res.first_hit
     face = jnp.maximum(fh.face, 0)
     tri = jnp.take(tables.tri, face, axis=0)
     shade = jnp.take(tables.shade_normal, face, axis=0)
-    point = face_point_offset(tri, shade, fh.u, fh.v)
-    geo_position = point.reshape(h, w, 3)
+    primary_point = face_point_offset(tri, shade, fh.u, fh.v)
+    geo_position = primary_point.reshape(h, w, 3)
     geo_face = fh.face.reshape(h, w)
     geo_object = _face_to_object(tables, fh.face).reshape(h, w)
 
@@ -138,18 +196,62 @@ def render_tile(
     for _ in range(settings.sample_count):
         t2, state = rng.random_2(state)
         pos = base_pos + rng.sample_insquare(t2) * 0.5
-        o, d, state = camera_rays(pos, view, state, settings)
-        res = integrator(o, d, t_max, state, tables, env_data, settings)
+        res = one_sample(pos, state)
         state = res.state
         color = color + res.color
         rays = rays + res.rays
-        samples += 1
+        samples = samples + 1.0
 
-    new_image = image + jnp.concatenate(
-        [color, jnp.full((r, 1), float(samples), jnp.float32)], axis=-1
-    ).reshape(h, w, 4)
+        if settings.reproject:
+            # temporal merge per extra sample (render.ts:1485-1494)
+            sh = res.first_hit
+            sface = jnp.maximum(sh.face, 0)
+            stri = jnp.take(tables.tri, sface, axis=0)
+            sshade = jnp.take(tables.shade_normal, sface, axis=0)
+            spoint = face_point_offset(stri, sshade, sh.u, sh.v)
+            rp, state = reproject(
+                spoint,
+                color,
+                state,
+                inputs.frustum,
+                inputs.prev_origin,
+                buffers.prev_image,
+                buffers.prev_geo_position,
+                settings,
+            )
+            ok = rp.color[..., 3:4] > 0.0
+            color = color + jnp.where(
+                ok,
+                rp.color[..., :3] / jnp.maximum(rp.color[..., 3:4], 1e-20),
+                0.0,
+            )
+            samples = samples + ok.astype(jnp.float32)
 
-    out = FrameBuffers(
+    if settings.reproject:
+        # final primary-point reprojection REPLACES the accumulation base
+        # (render.ts:1497-1500), then the frame still accumulates on top
+        # (render.ts:1506-1507)
+        rp, state = reproject(
+            primary_point,
+            color,
+            state,
+            inputs.frustum,
+            inputs.prev_origin,
+            buffers.prev_image,
+            buffers.prev_geo_position,
+            settings,
+        )
+        image = rp.color.reshape(h, w, 4)
+
+    if settings.debug_reprojection:
+        new_image = image
+    else:
+        new_image = image + jnp.concatenate(
+            [color, samples], axis=-1
+        ).reshape(h, w, 4)
+
+    out = dataclasses.replace(
+        buffers,
         image=new_image,
         geo_position=geo_position,
         geo_face=geo_face,
@@ -167,33 +269,26 @@ def render_frame(
     buffers: FrameBuffers,
     tables: SceneTables,
     env_data,
-    view: jax.Array,
-    seed: jax.Array,
-    counter: jax.Array,
-    jitter: jax.Array,
+    inputs: FrameInputs,
     settings: RenderSettings,
 ) -> Tuple[FrameBuffers, jax.Array]:
     """Single-chip frame: the whole image is one tile."""
     return render_tile(
-        buffers,
-        tables,
-        env_data,
-        view,
-        seed,
-        counter,
-        jitter,
-        jnp.int32(0),
-        settings,
+        buffers, tables, env_data, inputs, jnp.int32(0), settings,
         settings.height,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))
-def blit(image: jax.Array, settings: RenderSettings) -> jax.Array:
+def blit(image: jax.Array, prev_image: jax.Array, settings: RenderSettings):
     """Accumulation buffer → display color (blit fragment shader,
-    render.ts:184-244): rgb / samples × exposure, gamma(1/γ), tonemap."""
-    if settings.blit_view in (BlitView.NORMALS,):
+    render.ts:184-244): pick buffer by blit view, rgb / samples ×
+    exposure, gamma(1/γ), tonemap."""
+    if settings.blit_view == BlitView.NORMALS:
         color = image[..., :3]
+    elif settings.blit_view == BlitView.PREV_IMAGE:
+        denom = jnp.maximum(prev_image[..., 3:4], 1e-20)
+        color = prev_image[..., :3] / denom
     else:
         denom = jnp.maximum(image[..., 3:4], 1e-20)
         color = image[..., :3] / denom
@@ -206,8 +301,9 @@ def blit(image: jax.Array, settings: RenderSettings) -> jax.Array:
 
 class Renderer:
     """Host-side progressive renderer (the reference's store + renderFrame
-    loop in one object). Owns the accumulation state and the
-    reset-on-change policy (store.ts:192-344)."""
+    loop in one object). Owns the accumulation state, the reset-on-change
+    policy (store.ts:192-344), and the updatePrev rotation schedule
+    (render.ts:1651-1657)."""
 
     def __init__(
         self,
@@ -225,9 +321,11 @@ class Renderer:
         self.env_data = jnp.asarray(env_data)
         self.camera = camera or Camera()
         self.counter = 0
+        self.frame_counter = 0  # mod reprojectionRate (render.ts:1650)
         self.buffers = FrameBuffers.create(settings.width, settings.height)
         self._rng = np.random.default_rng(base_seed)
         self.last_rays = 0.0  # rays traced in the last frame (metrics)
+        self._prev_view = np.eye(4, dtype=np.float32)
 
     # --- reset policy (resetCounter, store.ts:240-242) ---
     def reset(self) -> None:
@@ -252,25 +350,40 @@ class Renderer:
             self.reset()
 
     def step(self, seed: Optional[int] = None) -> None:
-        """renderFrame (render.ts:1651-1710), sans temporal layer."""
+        """renderFrame (render.ts:1651-1710)."""
         if seed is None:
             seed = int(self._rng.integers(0, 2**32, dtype=np.uint64))
+        rate = self.settings.reprojection_rate
+        update_prev = rate == 0 or self.frame_counter % rate == 0
+        if rate:
+            self.frame_counter = (self.frame_counter + 1) % rate
         jitter = (
             (self._rng.random(2).astype(np.float32) - 0.5)
             * self.settings.jitter_strength
         )
+        frustum = reprojection_frustum(
+            self._prev_view,
+            self.settings.width,
+            self.settings.height,
+            self.settings.fov,
+        )
+        view = self.camera.view_matrix()
+        inputs = FrameInputs(
+            view=jnp.asarray(view),
+            seed=jnp.uint32(seed),
+            counter=jnp.int32(self.counter),
+            jitter=jnp.asarray(jitter),
+            frustum=jnp.asarray(frustum),
+            prev_origin=jnp.asarray(self._prev_view[:3, 3]),
+        )
         self.buffers, rays = render_frame(
-            self.buffers,
-            self.tables,
-            self.env_data,
-            jnp.asarray(self.camera.view_matrix()),
-            jnp.uint32(seed),
-            jnp.int32(self.counter),
-            jnp.asarray(jitter),
-            self.settings,
+            self.buffers, self.tables, self.env_data, inputs, self.settings
         )
         self.last_rays = float(rays)
         self.counter += 1
+        if update_prev:
+            self.buffers = self.buffers.rotated()
+            self._prev_view = view
 
     def render(self, spp: int) -> np.ndarray:
         """Accumulate until >= spp samples/pixel; return display image."""
@@ -283,30 +396,51 @@ class Renderer:
         """Display image, top row first. The reference's fullscreen blit
         maps buffer row 0 to the *bottom* of the canvas (uv (0,0) at clip
         (-1,-1), render.ts:163-183, 235-239), so the buffer is flipped
-        here to match the on-screen orientation."""
-        return np.asarray(blit(self.buffers.image, self.settings))[::-1]
+        here to match the on-screen orientation. The debug BVH wireframe
+        overlay (render.ts:1685-1692) composites last."""
+        img = blit(self.buffers.image, self.buffers.prev_image, self.settings)
+        if self.settings.debug_bvh:
+            from .ops.wireframe import overlay_wireframe, rasterize_bvh_wireframe
+
+            vp = self.camera.view_projection_matrix(
+                self.settings.width, self.settings.height, self.settings.fov
+            )
+            wire = rasterize_bvh_wireframe(
+                self.tables.node_box[:, 0:3],
+                self.tables.node_box[:, 3:6],
+                jnp.asarray(vp),
+                self.settings.width,
+                self.settings.height,
+            )
+            img = overlay_wireframe(img, wire[::-1])
+        return np.asarray(img)[::-1]
 
     # --- checkpoint / resume of the progressive accumulation state ---
     def save_checkpoint(self, path: str) -> None:
+        arrays = {
+            f.name: np.asarray(getattr(self.buffers, f.name))
+            for f in dataclasses.fields(FrameBuffers)
+        }
         np.savez(
             path,
-            image=np.asarray(self.buffers.image),
-            geo_position=np.asarray(self.buffers.geo_position),
-            geo_face=np.asarray(self.buffers.geo_face),
-            geo_object=np.asarray(self.buffers.geo_object),
             counter=self.counter,
+            frame_counter=self.frame_counter,
             cam_position=self.camera.position,
             cam_orientation=self.camera.orientation,
+            prev_view=self._prev_view,
+            **arrays,
         )
 
     def load_checkpoint(self, path: str) -> None:
         z = np.load(path)
         self.buffers = FrameBuffers(
-            image=jnp.asarray(z["image"]),
-            geo_position=jnp.asarray(z["geo_position"]),
-            geo_face=jnp.asarray(z["geo_face"]),
-            geo_object=jnp.asarray(z["geo_object"]),
+            **{
+                f.name: jnp.asarray(z[f.name])
+                for f in dataclasses.fields(FrameBuffers)
+            }
         )
         self.counter = int(z["counter"])
+        self.frame_counter = int(z["frame_counter"])
         self.camera.position = z["cam_position"]
         self.camera.orientation = z["cam_orientation"]
+        self._prev_view = z["prev_view"]
