@@ -54,6 +54,20 @@ def _aabbs_of(faces: FaceSet) -> tuple:
 
 
 def build_bvh(faces: FaceSet) -> BVH:
+    """Build a BVH, preferring the native C++ builder (runtime/loader.cpp)
+    which produces byte-identical trees; falls back to numpy."""
+    import os
+
+    if not os.environ.get("WRT_NO_NATIVE"):
+        from .native import build_bvh_native
+
+        bvh = build_bvh_native(faces)
+        if bvh is not None:
+            return bvh
+    return build_bvh_python(faces)
+
+
+def build_bvh_python(faces: FaceSet) -> BVH:
     f = len(faces)
     if f == 0:
         return BVH(

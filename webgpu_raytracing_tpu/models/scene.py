@@ -183,8 +183,16 @@ def load_scene(
     mat_color, mat_emission, mat_names = materials_from_mtl(mtls)
     name_to_idx = {n: i for i, n in enumerate(mat_names)}
 
-    with open(obj_path) as fh:
-        obj = parse_obj(fh.read())
+    import os as _os
+
+    obj = None
+    if not _os.environ.get("WRT_NO_NATIVE"):
+        from .native import parse_obj_native
+
+        obj = parse_obj_native(obj_path)
+    if obj is None:
+        with open(obj_path) as fh:
+            obj = parse_obj(fh.read())
 
     models: List[Model] = []
     if include_fixtures:
