@@ -1,0 +1,157 @@
+"""Clustered (MXU-native) traversal: equivalence with the threaded-BVH
+oracle and brute force; cluster table invariants."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from webgpu_raytracing_tpu.config import F32_MAX
+from webgpu_raytracing_tpu.models.cluster import build_clusters
+from webgpu_raytracing_tpu.models.scene import scene_from_facesets
+from webgpu_raytracing_tpu.models.test_models import (
+    ground_plane,
+    unit_cube_model,
+    uv_sphere,
+)
+from webgpu_raytracing_tpu.ops.cluster_trace import (
+    intersect_cluster_block,
+    pack_cluster_tables,
+    ray_matrix,
+    trace_closest_clustered,
+)
+from webgpu_raytracing_tpu.ops.intersect import ray_triangle
+from webgpu_raytracing_tpu.ops.traverse import trace_closest
+
+
+def _scene():
+    return scene_from_facesets(
+        [
+            ("sphere", uv_sphere((0, 0, -4), 1.0, lat=10, lon=14)),
+            ("plane", ground_plane(-1.5, 8.0)),
+            ("cube", unit_cube_model()),
+        ],
+        np.ones((1, 3), np.float32) * 0.8,
+        np.zeros((1, 3), np.float32),
+    )
+
+
+def test_cluster_tables_cover_all_faces():
+    scene = _scene()
+    clusters = build_clusters(scene.models)
+    total_faces = sum(len(m.faces) for m in scene.models)
+    fid = clusters.face_id[clusters.face_id >= 0]
+    assert len(np.unique(fid)) == total_faces
+    # padding normals are zero → det == 0 → always culled
+    pad_mask = clusters.face_id < 0
+    assert np.all(clusters.n[pad_mask] == 0)
+
+
+def test_cluster_boxes_contain_their_faces():
+    scene = _scene()
+    clusters = build_clusters(scene.models)
+    from webgpu_raytracing_tpu.models.face import FaceSet
+
+    fs = FaceSet.concat([m.faces for m in scene.models])
+    for c in range(clusters.n_clusters):
+        fids = clusters.face_id[c][clusters.face_id[c] >= 0]
+        v0 = fs.p0[fids]
+        v1 = v0 + fs.e1[fids]
+        v2 = v0 + fs.e2[fids]
+        pts = np.concatenate([v0, v1, v2])
+        assert (pts >= clusters.box[c, 0:3] - 1e-4).all()
+        assert (pts <= clusters.box[c, 3:6] + 1e-4).all()
+
+
+def test_bilinear_mt_matches_reference_mt(rng_np):
+    """The matmul decomposition must reproduce classic Möller–Trumbore."""
+    scene = _scene()
+    tables = scene.tables()
+    ct = tables.clusters
+    n = 64
+    o = rng_np.uniform(-2, 2, (n, 3)).astype(np.float32)
+    d = rng_np.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    a = ray_matrix(jnp.asarray(o), jnp.asarray(d))
+    best = jnp.full((n,), F32_MAX, jnp.float32)
+
+    cid = 0
+    t_cl, u_cl, v_cl, slot = intersect_cluster_block(
+        a, ct.mat_b[cid], best
+    )
+    # oracle: classic per-triangle MT over the same cluster's faces
+    s = ct.face_id.shape[1]
+    t_ref = np.full((n,), F32_MAX, np.float32)
+    u_ref = np.zeros((n,), np.float32)
+    for k in range(s):
+        fid = int(ct.face_id[cid, k])
+        if fid < 0:
+            continue
+        tri = np.asarray(tables.tri[fid])
+        th = ray_triangle(
+            jnp.asarray(o), jnp.asarray(d),
+            jnp.broadcast_to(jnp.asarray(tri[0:3]), (n, 3)),
+            jnp.broadcast_to(jnp.asarray(tri[3:6]), (n, 3)),
+            jnp.broadcast_to(jnp.asarray(tri[6:9]), (n, 3)),
+            0.0, jnp.asarray(t_ref),
+        )
+        hit = np.asarray(th.hit)
+        t_ref = np.where(hit, np.asarray(th.t), t_ref)
+        u_ref = np.where(hit, np.asarray(th.u), u_ref)
+    hits_ref = t_ref < F32_MAX
+    hits_cl = np.asarray(slot) >= 0
+    np.testing.assert_array_equal(hits_cl, hits_ref)
+    np.testing.assert_allclose(
+        np.asarray(t_cl)[hits_ref], t_ref[hits_ref], rtol=2e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(u_cl)[hits_ref], u_ref[hits_ref], rtol=1e-3, atol=2e-4
+    )
+
+
+def test_clustered_matches_threaded(rng_np):
+    scene = _scene()
+    tables = scene.tables()
+    n = 512
+    o = rng_np.uniform(-3, 3, (n, 3)).astype(np.float32)
+    o[:, 2] = rng_np.uniform(0, 2, n)
+    d = rng_np.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmax = jnp.full((n,), F32_MAX, jnp.float32)
+
+    ref = trace_closest(jnp.asarray(o), jnp.asarray(d), tmax, tables)
+    cl = trace_closest_clustered(
+        jnp.asarray(o), jnp.asarray(d), tmax, tables, tile=128
+    )
+    hits_ref = np.asarray(ref.face) >= 0
+    hits_cl = np.asarray(cl.face) >= 0
+    np.testing.assert_array_equal(hits_cl, hits_ref)
+    assert hits_ref.sum() > 50
+    np.testing.assert_allclose(
+        np.asarray(cl.t)[hits_ref],
+        np.asarray(ref.t)[hits_ref],
+        rtol=2e-4,
+        atol=1e-5,
+    )
+    # face agreement except float-tie cases
+    agree = (np.asarray(cl.face) == np.asarray(ref.face))[hits_ref]
+    assert agree.mean() > 0.995, agree.mean()
+
+
+def test_clustered_respects_tmax_and_active():
+    scene = _scene()
+    tables = scene.tables()
+    o = jnp.asarray(np.array([[0, 0, 0], [0, 0, 0]], np.float32))
+    d = jnp.asarray(np.array([[0, 0, -1], [0, 0, -1]], np.float32))
+    tmax = jnp.full((2,), F32_MAX, jnp.float32)
+    both = trace_closest_clustered(o, d, tmax, tables, tile=128)
+    assert int(both.face[0]) >= 0 and int(both.face[1]) >= 0
+    t = float(both.t[0])
+    near = trace_closest_clustered(
+        o, d, jnp.asarray([t * 0.5, F32_MAX], jnp.float32), tables, tile=128
+    )
+    assert int(near.face[0]) == -1 and int(near.face[1]) >= 0
+    inact = trace_closest_clustered(
+        o, d, tmax, tables,
+        active=jnp.asarray([False, True]), tile=128,
+    )
+    assert int(inact.face[0]) == -1 and int(inact.face[1]) >= 0

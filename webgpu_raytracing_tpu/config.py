@@ -128,6 +128,12 @@ class RenderSettings:
     # Quad hit-distance predictor (pixelHitDist, render.ts:1121-1141).
     # Always on in the reference; exposed as a flag for ablation.
     use_hit_predictor: bool = True
+    # Traversal backend: "clustered" = MXU-native dense cluster tracing
+    # (ops/cluster_trace.py, the TPU production path); "threaded" =
+    # stackless skip-link walk (ops/traverse.py, gather-bound oracle).
+    traversal: str = "clustered"
+    # Ray-tile size for clustered tracing (coherent pixel groups).
+    trace_tile: int = 1024
     # Next-event estimation. The reference ships the NEE chain
     # (``pointColor``/``sampleLights`` render.ts:1143-1157, 849-869) but
     # never calls it from the megakernel main; default off for parity.

@@ -53,6 +53,8 @@ class SceneTables:
     # materials (scene.ts:241-269)
     mat_color: jax.Array  # (K, 3) f32
     mat_emission: jax.Array  # (K, 3) f32
+    # MXU-native clustered acceleration tables (ops/cluster_trace.py)
+    clusters: object  # ClusterTables pytree
 
     @property
     def n_nodes(self) -> int:
@@ -85,7 +87,7 @@ class Scene:
             mat_names=self.mat_names,
         )
 
-    def tables(self) -> SceneTables:
+    def tables(self, cluster_size: int = 64) -> SceneTables:
         """Flatten all models into threaded traversal + shading tables."""
         import jax.numpy as jnp
 
@@ -118,7 +120,15 @@ class Scene:
             [fs.normal, fs.n0, fs.n1, fs.n2], axis=1
         ).astype(np.float32)
 
+        from ..ops.cluster_trace import pack_cluster_tables
+        from .cluster import build_clusters
+
+        clusters = pack_cluster_tables(
+            build_clusters(self.models, cluster_size=cluster_size)
+        )
+
         return SceneTables(
+            clusters=clusters,
             node_box=jnp.asarray(np.concatenate(node_box_l, axis=0)),
             node_meta=jnp.asarray(np.concatenate(node_meta_l, axis=0)),
             tri=jnp.asarray(tri),

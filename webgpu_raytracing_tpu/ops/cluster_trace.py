@@ -1,0 +1,282 @@
+"""Clustered ray tracing — the MXU-native traversal.
+
+Why this exists: measured on TPU, per-lane gathers run at ~100 Mrows/s
+while f32 matmuls deliver >100 TFLOP/s. A per-ray BVH walk (the WGSL
+megakernel's shape, render.ts:433-640, and ops/traverse.py here) spends a
+gather per ray per node — the scarcest resource. This module reformulates
+traversal to spend the *abundant* resource instead:
+
+* the scene is cut into clusters of ≤64 triangles (models/cluster.py);
+* Möller–Trumbore is decomposed into ray⊗triangle bilinear forms, so one
+  ray block vs one cluster is a single ``(T, 10) @ (10, 4·64)`` matmul
+  plus an elementwise epilogue — MXU work, no gathers;
+* rays are grouped into coherent *tiles*; each round, every tile picks its
+  nearest unprocessed hit cluster (dense box tests, no gathers) and tests
+  all its rays against that cluster's 64 triangles densely;
+* rounds repeat until every tile has exhausted clusters that could still
+  beat its rays' best hits.
+
+The Möller–Trumbore algebra (s = o − p0, h = d × e2, w = o × d,
+n = e1 × e2, q1 = p0 × e1, q2 = p0 × e2, k0 = p0·n):
+
+    det   = e1 · h       = −(d · n)
+    u·1   = s · h        =  w · e2 + d · q2
+    v·1   = d · (s × e1) = −(w · e1 + d · q1)
+    t·det = e2 · (s × e1) =  o · n − k0
+
+so with the ray matrix A = [o | w | d | 1] (T, 10) and per-cluster
+B = (10, 4·64) holding [n-cols | (e2,q2)-cols | −(e1,q1)-cols | (n,−k0)],
+``A @ B`` yields det / u_num / v_num / t_num for all 64 triangles at once.
+Culling/interval semantics match the reference exactly
+(render.ts:359-409): det < ε² rejects (backface + parallel), barycentrics
+tested against det before the division, strict positive t interval.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EPSILON, F32_MAX, MIN_DIST
+from .traverse import Hit
+
+CLUSTER_SIZE = 64
+_EPS2 = EPSILON * EPSILON
+_INF = jnp.float32(F32_MAX)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ClusterTables:
+    """Device-resident cluster tables (a jit-able pytree)."""
+
+    box: jax.Array  # (C, 6) AABB min/max
+    mat_b: jax.Array  # (C, 10, 4*S) the Möller–Trumbore bilinear matrix
+    face_id: jax.Array  # (C, S) int32 global face ids (-1 pad)
+
+    @property
+    def n_clusters(self) -> int:
+        return self.box.shape[0]
+
+
+def pack_cluster_tables(clusters) -> ClusterTables:
+    """models.cluster.ClusterSet → ClusterTables (host → device).
+
+    B layout (rows = ray-matrix components [o(0:3) | w(3:6) | d(6:9) | 1]):
+      cols [0,S):   det   — rows d ← −n
+      cols [S,2S):  t_num — rows o ← n, bias ← −k0
+      cols [2S,3S): u_num — rows w ← e2, rows d ← q2
+      cols [3S,4S): v_num — rows w ← −e1, rows d ← −q1
+    """
+    c, s, _ = clusters.n.shape
+    b = np.zeros((c, 10, 4 * s), dtype=np.float32)
+    nt = np.transpose(clusters.n, (0, 2, 1))
+    b[:, 6:9, 0 * s : 1 * s] = -nt
+    b[:, 0:3, 1 * s : 2 * s] = nt
+    b[:, 9, 1 * s : 2 * s] = -clusters.k0
+    b[:, 3:6, 2 * s : 3 * s] = np.transpose(clusters.e2, (0, 2, 1))
+    b[:, 6:9, 2 * s : 3 * s] = np.transpose(clusters.q2, (0, 2, 1))
+    b[:, 3:6, 3 * s : 4 * s] = -np.transpose(clusters.e1, (0, 2, 1))
+    b[:, 6:9, 3 * s : 4 * s] = -np.transpose(clusters.q1, (0, 2, 1))
+    import jax.numpy as _jnp
+
+    return ClusterTables(
+        box=_jnp.asarray(clusters.box),
+        mat_b=_jnp.asarray(b),
+        face_id=_jnp.asarray(clusters.face_id),
+    )
+
+
+def ray_matrix(o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """A = [o | o×d | d | 1] — (R, 10)."""
+    w = jnp.cross(o, d)
+    ones = jnp.ones(o.shape[:-1] + (1,), o.dtype)
+    return jnp.concatenate([o, w, d, ones], axis=-1)
+
+
+def intersect_cluster_block(
+    a: jnp.ndarray,  # (T, 10) ray matrix
+    b: jnp.ndarray,  # (10, 4*S) cluster matrix
+    best_t: jnp.ndarray,  # (T,)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Dense ray-block × cluster Möller–Trumbore. Returns
+    (t, u, v, slot) of the best triangle per ray (slot == -1 if none
+    beats best_t)."""
+    s = b.shape[-1] // 4
+    out = jnp.dot(a, b, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    det = out[..., 0 * s : 1 * s]
+    t_num = out[..., 1 * s : 2 * s]
+    u_num = out[..., 2 * s : 3 * s]
+    v_num = out[..., 3 * s : 4 * s]
+
+    valid = (
+        (det >= _EPS2)
+        & (u_num >= 0.0)
+        & (u_num <= det)
+        & (v_num >= 0.0)
+        & (u_num + v_num <= det)
+    )
+    inv_det = 1.0 / jnp.where(valid, det, 1.0)
+    t = t_num * inv_det
+    valid = valid & (t > MIN_DIST) & (t < best_t[..., None])
+
+    t_masked = jnp.where(valid, t, _INF)
+    slot = jnp.argmin(t_masked, axis=-1)
+    t_best = jnp.take_along_axis(t_masked, slot[..., None], axis=-1)[..., 0]
+    u_best = jnp.take_along_axis(
+        u_num * inv_det, slot[..., None], axis=-1
+    )[..., 0]
+    v_best = jnp.take_along_axis(
+        v_num * inv_det, slot[..., None], axis=-1
+    )[..., 0]
+    hit = t_best < best_t
+    return (
+        jnp.where(hit, t_best, best_t),
+        u_best,
+        v_best,
+        jnp.where(hit, slot, -1),
+    )
+
+
+def _boxes_near(
+    o: jnp.ndarray,  # (T, 3)
+    inv_d: jnp.ndarray,  # (T, 3)
+    boxes: jnp.ndarray,  # (C, 6)
+    t_max: jnp.ndarray,  # (T,)
+) -> jnp.ndarray:
+    """Slab test of every ray against every cluster box → (T, C) entry
+    distance (clamped ≥ 0), +inf on miss. Dense — no gathers."""
+    bmin = boxes[None, :, 0:3]
+    bmax = boxes[None, :, 3:6]
+    t0 = (bmin - o[:, None, :]) * inv_d[:, None, :]
+    t1 = (bmax - o[:, None, :]) * inv_d[:, None, :]
+    near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = (near < far) & (near < t_max[:, None]) & (far > MIN_DIST)
+    return jnp.where(hit, jnp.maximum(near, 0.0), _INF)
+
+
+def trace_closest_clustered(
+    o: jnp.ndarray,  # (R, 3)
+    d: jnp.ndarray,  # (R, 3)
+    t_max: jnp.ndarray,  # (R,)
+    tables,  # SceneTables (needs .clusters: ClusterTables)
+    active: jnp.ndarray | None = None,
+    tile: int = 1024,
+) -> Hit:
+    """Closest-hit over coherent ray tiles (drop-in for
+    ops.traverse.trace_closest). R must be a multiple of ``tile``."""
+    ct: ClusterTables = tables.clusters
+    r0 = o.shape[0]
+    if active is None:
+        active = jnp.ones((r0,), bool)
+    if r0 % tile:  # pad with inactive rays to a whole number of tiles
+        pad = tile - r0 % tile
+        o = jnp.concatenate([o, jnp.ones((pad, 3), o.dtype)], axis=0)
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)], axis=0)
+        t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)])
+        active = jnp.concatenate([active, jnp.zeros((pad,), bool)])
+    r = o.shape[0]
+    n_tiles = r // tile
+    c = ct.n_clusters
+    s = ct.face_id.shape[1]
+
+    t_max = jnp.where(active, t_max, 0.0)
+
+    a_mat = ray_matrix(o, d).reshape(n_tiles, tile, 10)
+    inv_d = 1.0 / d
+
+    # per-tile per-cluster min entry distance (the shortlist source)
+    def tile_nears(args):
+        ot, it, tt = args
+        return jnp.min(_boxes_near(ot, it, ct.box, tt), axis=0)  # (C,)
+
+    near_tc = jax.lax.map(
+        tile_nears,
+        (
+            o.reshape(n_tiles, tile, 3),
+            inv_d.reshape(n_tiles, tile, 3),
+            t_max.reshape(n_tiles, tile),
+        ),
+        batch_size=max(1, min(n_tiles, 4096 // max(tile // 256, 1))),
+    )  # (n_tiles, C)
+
+    def cond(state):
+        near_tc, best_t, *_ = state
+        # a tile still works while its nearest unprocessed cluster could
+        # beat some ray's current best
+        max_best = jnp.max(best_t.reshape(n_tiles, tile), axis=1)
+        return jnp.any(jnp.min(near_tc, axis=1) < max_best)
+
+    def body(state):
+        near_tc, best_t, best_u, best_v, best_slot, best_cid = state
+        cid = jnp.argmin(near_tc, axis=1)  # (n_tiles,)
+        cnear = jnp.take_along_axis(near_tc, cid[:, None], axis=1)[:, 0]
+        max_best = jnp.max(best_t.reshape(n_tiles, tile), axis=1)
+        tile_act = cnear < max_best  # (n_tiles,)
+
+        b = jnp.take(ct.mat_b, cid, axis=0)  # (n_tiles, 10, 4S)
+        t_new, u_new, v_new, slot = jax.vmap(intersect_cluster_block)(
+            a_mat, b, best_t.reshape(n_tiles, tile)
+        )
+        improved = (slot >= 0) & tile_act[:, None]
+        best_t = jnp.where(
+            improved, t_new, best_t.reshape(n_tiles, tile)
+        ).reshape(r)
+        best_u = jnp.where(improved.reshape(r), u_new.reshape(r), best_u)
+        best_v = jnp.where(improved.reshape(r), v_new.reshape(r), best_v)
+        best_slot = jnp.where(
+            improved.reshape(r), slot.reshape(r), best_slot
+        )
+        best_cid = jnp.where(
+            improved.reshape(r),
+            jnp.broadcast_to(cid[:, None], (n_tiles, tile)).reshape(r),
+            best_cid,
+        )
+        # mark processed (also for inactive tiles: their nearest cluster
+        # can never matter again, since max_best only decreases)
+        near_tc = near_tc.at[jnp.arange(n_tiles), cid].set(_INF)
+        return near_tc, best_t, best_u, best_v, best_slot, best_cid
+
+    init = (
+        near_tc,
+        t_max.astype(jnp.float32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.full((r,), -1, jnp.int32),
+        jnp.zeros((r,), jnp.int32),
+    )
+    _, best_t, best_u, best_v, best_slot, best_cid = jax.lax.while_loop(
+        cond, body, init
+    )
+
+    face = jnp.where(
+        best_slot >= 0,
+        jnp.take(
+            ct.face_id.reshape(-1),
+            best_cid * s + jnp.maximum(best_slot, 0),
+        ),
+        -1,
+    ).astype(jnp.int32)
+    return Hit(
+        t=best_t[:r0], u=best_u[:r0], v=best_v[:r0], face=face[:r0]
+    )
+
+
+def trace_any_clustered(
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t_max: jnp.ndarray,
+    tables,
+    active: jnp.ndarray | None = None,
+    tile: int = 1024,
+) -> jnp.ndarray:
+    """Any-hit query (shadow rays). Same machinery; a ray is done as soon
+    as anything valid lands inside its interval."""
+    hit = trace_closest_clustered(o, d, t_max, tables, active, tile)
+    return hit.face >= 0

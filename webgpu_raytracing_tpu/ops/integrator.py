@@ -32,6 +32,27 @@ from . import rng
 from .envmap import sample_environment
 from .traverse import Hit, trace_any, trace_closest
 
+
+def _trace_closest(o, d, t_max, tables, settings, active=None):
+    """Traversal backend dispatch (static on settings.traversal)."""
+    if settings.traversal == "clustered":
+        from .cluster_trace import trace_closest_clustered
+
+        return trace_closest_clustered(
+            o, d, t_max, tables, active, tile=settings.trace_tile
+        )
+    return trace_closest(o, d, t_max, tables, active)
+
+
+def _trace_any(o, d, t_max, tables, settings, active=None):
+    if settings.traversal == "clustered":
+        from .cluster_trace import trace_any_clustered
+
+        return trace_any_clustered(
+            o, d, t_max, tables, active, tile=settings.trace_tile
+        )
+    return trace_any(o, d, t_max, tables, active)
+
 _ORIGIN = 1.0 / 32.0
 _FLOAT_SCALE = 1.0 / 65536.0
 _INT_SCALE = 256.0
@@ -141,8 +162,9 @@ def direct_light(
         d_sq = jnp.sum(ds * ds, axis=-1)
         inv_d = 1.0 / jnp.sqrt(jnp.maximum(d_sq, 1e-20))
         dirn = ds * inv_d[..., None]
-        shadowed = trace_any(
-            point, dirn, jnp.sqrt(jnp.maximum(d_sq, 0.0)), tables, active
+        shadowed = _trace_any(
+            point, dirn, jnp.sqrt(jnp.maximum(d_sq, 0.0)), tables,
+            settings, active,
         )
         vis = jnp.where(shadowed, 0.0, 1.0)
         cosine = jnp.maximum(jnp.sum(dirn * normal, axis=-1), 0.0)
@@ -180,7 +202,7 @@ def path_trace(
     for seg in range(n_segments):
         rays = rays + jnp.sum(alive.astype(jnp.float32))
         t_max = t_max0 if seg == 0 else jnp.full((r,), F32_MAX, jnp.float32)
-        hit = trace_closest(o, d, t_max, tables, active=alive)
+        hit = _trace_closest(o, d, t_max, tables, settings, active=alive)
         if seg == 0:
             first_hit = hit
 
@@ -251,7 +273,7 @@ def trace_direct(
     """Direct-lighting-only integrator (BASELINE config #1): one primary
     hit, emission + NEE, environment on miss."""
     r = o.shape[0]
-    hit = trace_closest(o, d, t_max0, tables)
+    hit = _trace_closest(o, d, t_max0, tables, settings)
     found = hit.face >= 0
     env = sample_environment(env_data, d, settings.environment)
     color = jnp.where(found[..., None], 0.0, env)
