@@ -155,3 +155,31 @@ def test_clustered_respects_tmax_and_active():
         active=jnp.asarray([False, True]), tile=128,
     )
     assert int(inact.face[0]) == -1 and int(inact.face[1]) >= 0
+
+
+def test_pallas_kernel_interpret_matches_threaded(rng_np):
+    """The Pallas tile kernel (interpret mode on CPU) must agree with the
+    threaded-BVH oracle."""
+    from webgpu_raytracing_tpu.ops.cluster_pallas import (
+        trace_closest_clustered_pallas,
+    )
+
+    scene = _scene()
+    tables = scene.tables()
+    n = 384
+    o = rng_np.uniform(-3, 3, (n, 3)).astype(np.float32)
+    o[:, 2] = rng_np.uniform(0, 2, n)
+    d = rng_np.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmax = jnp.full((n,), F32_MAX, jnp.float32)
+    ref = trace_closest(jnp.asarray(o), jnp.asarray(d), tmax, tables)
+    pk = trace_closest_clustered_pallas(
+        jnp.asarray(o), jnp.asarray(d), tmax, tables, tile=128,
+        interpret=True,
+    )
+    hits = np.asarray(ref.face) >= 0
+    np.testing.assert_array_equal(np.asarray(pk.face) >= 0, hits)
+    np.testing.assert_allclose(
+        np.asarray(pk.t)[hits], np.asarray(ref.t)[hits], rtol=2e-4,
+        atol=1e-5,
+    )

@@ -128,12 +128,14 @@ class RenderSettings:
     # Quad hit-distance predictor (pixelHitDist, render.ts:1121-1141).
     # Always on in the reference; exposed as a flag for ablation.
     use_hit_predictor: bool = True
-    # Traversal backend: "clustered" = MXU-native dense cluster tracing
-    # (ops/cluster_trace.py, the TPU production path); "threaded" =
-    # stackless skip-link walk (ops/traverse.py, gather-bound oracle).
-    traversal: str = "clustered"
+    # Traversal backend: "auto" = Pallas tile kernel on TPU / XLA
+    # clustered elsewhere; "pallas" (ops/cluster_pallas.py, the TPU
+    # production path); "clustered" = XLA dense cluster tracing
+    # (ops/cluster_trace.py); "threaded" = stackless skip-link walk
+    # (ops/traverse.py, gather-bound oracle).
+    traversal: str = "auto"
     # Ray-tile size for clustered tracing (coherent pixel groups).
-    trace_tile: int = 1024
+    trace_tile: int = 512
     # Next-event estimation. The reference ships the NEE chain
     # (``pointColor``/``sampleLights`` render.ts:1143-1157, 849-869) but
     # never calls it from the megakernel main; default off for parity.

@@ -42,11 +42,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import EPSILON, F32_MAX, MIN_DIST
+from .intersect import safe_inv_dir
 from .traverse import Hit
 
 CLUSTER_SIZE = 64
 _EPS2 = EPSILON * EPSILON
-_INF = jnp.float32(F32_MAX)
+_INF = float(F32_MAX)
 
 
 @jax.tree_util.register_dataclass
@@ -189,7 +190,7 @@ def trace_closest_clustered(
     t_max = jnp.where(active, t_max, 0.0)
 
     a_mat = ray_matrix(o, d).reshape(n_tiles, tile, 10)
-    inv_d = 1.0 / d
+    inv_d = safe_inv_dir(d)
 
     # per-tile per-cluster min entry distance (the shortlist source)
     def tile_nears(args):

@@ -33,9 +33,28 @@ from .envmap import sample_environment
 from .traverse import Hit, trace_any, trace_closest
 
 
+def _resolve_backend(settings) -> str:
+    """'auto' → Pallas kernel on TPU, XLA clustered elsewhere."""
+    backend = settings.traversal
+    if backend == "auto":
+        import jax
+
+        backend = (
+            "pallas" if jax.default_backend() not in ("cpu",) else "clustered"
+        )
+    return backend
+
+
 def _trace_closest(o, d, t_max, tables, settings, active=None):
     """Traversal backend dispatch (static on settings.traversal)."""
-    if settings.traversal == "clustered":
+    backend = _resolve_backend(settings)
+    if backend == "pallas":
+        from .cluster_pallas import trace_closest_clustered_pallas
+
+        return trace_closest_clustered_pallas(
+            o, d, t_max, tables, active, tile=settings.trace_tile
+        )
+    if backend == "clustered":
         from .cluster_trace import trace_closest_clustered
 
         return trace_closest_clustered(
@@ -45,7 +64,15 @@ def _trace_closest(o, d, t_max, tables, settings, active=None):
 
 
 def _trace_any(o, d, t_max, tables, settings, active=None):
-    if settings.traversal == "clustered":
+    backend = _resolve_backend(settings)
+    if backend == "pallas":
+        from .cluster_pallas import trace_closest_clustered_pallas
+
+        hit = trace_closest_clustered_pallas(
+            o, d, t_max, tables, active, tile=settings.trace_tile
+        )
+        return hit.face >= 0
+    if backend == "clustered":
         from .cluster_trace import trace_any_clustered
 
         return trace_any_clustered(

@@ -88,3 +88,20 @@ def ray_aabb(
     far = jnp.min(tmax, axis=-1)
     hit = (near < far) & (near < t_max) & (far > MIN_DIST)
     return hit, near
+
+
+def safe_inv_dir(d):
+    """NaN-safe direction reciprocal for slab tests: exact-zero components
+    (e.g. axis-aligned camera rays at the image center row/column) would
+    give inf * 0 = NaN in ``(bmin - o) * inv_d``; substituting a huge
+    finite value keeps the axis test meaningful (inside the slab → no
+    constraint, outside → certain miss)."""
+    import jax.numpy as jnp
+
+    tiny = 1e-12
+    big = 1e30
+    return jnp.where(
+        jnp.abs(d) < tiny,
+        jnp.where(d >= 0, big, -big),
+        1.0 / jnp.where(jnp.abs(d) < tiny, 1.0, d),
+    )

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from ..config import F32_MAX
 from ..models.scene import SceneTables
-from .intersect import ray_aabb, ray_triangle
+from .intersect import ray_aabb, ray_triangle, safe_inv_dir
 
 
 class Hit(NamedTuple):
@@ -55,7 +55,7 @@ def trace_closest(
     """Closest-hit query (reference rayIntersectBVH render.ts:447-465)."""
     r = o.shape[0]
     n = tables.n_nodes
-    inv_d = 1.0 / d
+    inv_d = safe_inv_dir(d)
 
     if active is None:
         active = jnp.ones((r,), dtype=bool)
@@ -126,7 +126,7 @@ def trace_any(
     Returns (R,) bool. Lanes stop traversing as soon as they find a hit."""
     r = o.shape[0]
     n = tables.n_nodes
-    inv_d = 1.0 / d
+    inv_d = safe_inv_dir(d)
     if active is None:
         active = jnp.ones((r,), dtype=bool)
     idx0 = jnp.where(active, 0, n).astype(jnp.int32)
