@@ -144,6 +144,10 @@ class RenderSettings:
     # "cubemap" (new capability, BASELINE config #2), or "procedural"
     # (fallback when no environment asset is present).
     environment: str = "procedural"
+    # Luminance importance sampling of the equirect environment with MIS
+    # (new capability, BASELINE config #3). Requires environment="equirect"
+    # and env_data passed as an EnvDistribution.
+    env_importance_sampling: bool = False
 
     @property
     def reproject(self) -> bool:

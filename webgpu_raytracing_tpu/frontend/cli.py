@@ -82,6 +82,10 @@ def _build(args):
         env_data = (
             read_exr(path) if path.endswith(".exr") else read_hdr(path)
         )
+        if args.env_importance:
+            from ..ops.env_sample import build_env_distribution
+
+            env_data = build_env_distribution(env_data)
 
     settings = RenderSettings(
         width=width,
@@ -89,6 +93,9 @@ def _build(args):
         sample_count=args.sample_count,
         bounces_depth=args.bounces,
         environment=environment,
+        env_importance_sampling=bool(
+            args.env_importance and environment == "equirect"
+        ),
         projection_type=ProjectionType[args.projection.upper()],
         tonemapping=Tonemapping[args.tonemap.upper()],
         reprojection_rate=args.reprojection_rate,
@@ -195,6 +202,10 @@ def build_parser():
             choices=["procedural", "cubemap", "equirect", "black", "white"],
         )
         sp.add_argument("--env-file", default=None)
+        sp.add_argument(
+            "--env-importance", action="store_true",
+            help="luminance importance sampling of the equirect env (MIS)",
+        )
         sp.add_argument(
             "--projection",
             default="panini",

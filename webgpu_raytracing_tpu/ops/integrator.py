@@ -25,16 +25,21 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
-from ..config import F32_MAX, RenderSettings, ShadingType
+from ..config import F32_MAX, INV_PI, RenderSettings, ShadingType
 from ..models.scene import SceneTables
 from . import rng
 from .envmap import sample_environment
 from .traverse import Hit, trace_any, trace_closest
 
 
-def _resolve_backend(settings) -> str:
-    """'auto' → Pallas kernel on TPU, XLA clustered elsewhere."""
+_PALLAS_VMEM_BUDGET = 12 * 1024 * 1024  # cluster tables must fit VMEM
+
+
+def _resolve_backend(settings, tables) -> str:
+    """'auto' → Pallas kernel on TPU (when the cluster tables fit VMEM),
+    XLA clustered elsewhere / for huge scenes."""
     backend = settings.traversal
     if backend == "auto":
         import jax
@@ -42,12 +47,18 @@ def _resolve_backend(settings) -> str:
         backend = (
             "pallas" if jax.default_backend() not in ("cpu",) else "clustered"
         )
+    if backend == "pallas":
+        matb_bytes = 4 * int(
+            np.prod(jnp.shape(tables.clusters.mat_b))
+        )
+        if matb_bytes > _PALLAS_VMEM_BUDGET:
+            backend = "clustered"
     return backend
 
 
 def _trace_closest(o, d, t_max, tables, settings, active=None):
     """Traversal backend dispatch (static on settings.traversal)."""
-    backend = _resolve_backend(settings)
+    backend = _resolve_backend(settings, tables)
     if backend == "pallas":
         from .cluster_pallas import trace_closest_clustered_pallas
 
@@ -64,7 +75,7 @@ def _trace_closest(o, d, t_max, tables, settings, active=None):
 
 
 def _trace_any(o, d, t_max, tables, settings, active=None):
-    backend = _resolve_backend(settings)
+    backend = _resolve_backend(settings, tables)
     if backend == "pallas":
         from .cluster_pallas import trace_closest_clustered_pallas
 
@@ -217,13 +228,31 @@ def path_trace(
     env_data,
     settings: RenderSettings,
 ) -> PathResult:
-    """pixelColor (render.ts:1167-1212), wavefront-unrolled."""
+    """pixelColor (render.ts:1167-1212), wavefront-unrolled. With
+    env_importance_sampling, each vertex additionally next-event-samples
+    the environment and both strategies are MIS-combined (balance
+    heuristic) — a capability the reference lacks (config #3)."""
+    env_is = settings.env_importance_sampling
+    if env_is:
+        from .env_sample import (
+            balance_weight,
+            bsdf_pdf,
+            env_pdf,
+            sample_env,
+        )
+
+        dist = env_data
+        env_img = dist.img
+    else:
+        env_img = env_data
+
     r = o.shape[0]
     color = jnp.zeros((r, 3), jnp.float32)
     throughput = jnp.ones((r, 3), jnp.float32)
     alive = jnp.ones((r,), bool)
     first_hit = None
     rays = jnp.zeros((), jnp.float32)
+    prev_bsdf_pdf = jnp.zeros((r,), jnp.float32)  # MIS carry
 
     n_segments = max(settings.bounces_depth - 1, 0)
     for seg in range(n_segments):
@@ -236,7 +265,11 @@ def path_trace(
         found = hit.face >= 0
         # miss → environment radiance, path ends (render.ts:1183-1186)
         miss = alive & ~found
-        env = sample_environment(env_data, d, settings.environment)
+        env = sample_environment(env_img, d, settings.environment)
+        if env_is and seg > 0:
+            # the previous vertex also env-NEE'd: weigh the BSDF strategy
+            w_bsdf = balance_weight(prev_bsdf_pdf, env_pdf(dist, d))
+            env = env * w_bsdf[..., None]
         color = jnp.where(miss[..., None], color + env * throughput, color)
 
         h = alive & found
@@ -263,9 +296,40 @@ def path_trace(
                 settings.samples_per_point
             )
 
+        if env_is:
+            # environment next-event estimation at this vertex
+            ed, erad, epdf, s_env = sample_env(dist, state)
+            state = rng.masked_advance(state, s_env, h)
+            nn = n / jnp.maximum(
+                jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True)), 1e-20
+            )
+            facing = jnp.sum(ed * nn, axis=-1) > 0.0
+            blocked = _trace_any(
+                new_o, ed, jnp.full((r,), F32_MAX, jnp.float32), tables,
+                settings, active=h & facing,
+            )
+            vis = h & facing & ~blocked
+            pb = bsdf_pdf(ed, n)
+            w_env = balance_weight(epdf, pb)
+            # f = albedo/π is already folded into throughput; × cos/pdf
+            contrib = (
+                throughput
+                * erad
+                * (
+                    jnp.maximum(jnp.sum(ed * nn, axis=-1), 0.0)
+                    * INV_PI
+                    * w_env
+                    / jnp.maximum(epdf, 1e-20)
+                )[..., None]
+            )
+            color = jnp.where(vis[..., None], color + contrib, color)
+            rays = rays + jnp.sum((h & facing).astype(jnp.float32))
+
         t2, s2 = rng.random_2(state)
         state = rng.masked_advance(state, s2, h)
         new_d = rng.sample_cosine_weighted_hemisphere(t2, n)
+        if env_is:
+            prev_bsdf_pdf = jnp.where(h, bsdf_pdf(new_d, n), prev_bsdf_pdf)
 
         # russian roulette (render.ts:1201-1208)
         p = jnp.max(throughput, axis=-1)

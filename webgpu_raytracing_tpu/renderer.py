@@ -318,7 +318,13 @@ class Renderer:
         self.tables = scene.tables()
         if env_data is None:
             env_data = jnp.zeros((1, 1, 3), jnp.float32)
-        self.env_data = jnp.asarray(env_data)
+        # env_data is either a radiance image or an EnvDistribution pytree
+        # (env_importance_sampling)
+        self.env_data = (
+            env_data
+            if hasattr(env_data, "row_cdf")
+            else jnp.asarray(env_data)
+        )
         self.camera = camera or Camera()
         self.counter = 0
         self.frame_counter = 0  # mod reprojectionRate (render.ts:1650)
