@@ -1,0 +1,66 @@
+"""Scalability tests (BASELINE config #5 machinery) — a few hundred
+thousand triangles in CI; the full 1M run is scripts-level."""
+
+import time
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from webgpu_raytracing_tpu.config import F32_MAX, RenderSettings
+from webgpu_raytracing_tpu.models.stress import stress_scene
+from webgpu_raytracing_tpu.ops.cluster_trace import trace_closest_clustered
+from webgpu_raytracing_tpu.ops.traverse import trace_closest
+
+
+@pytest.mark.slow
+def test_stress_scene_builds_and_traces():
+    t0 = time.time()
+    scene = stress_scene(200_000)
+    total = sum(len(m.faces) for m in scene.models)
+    assert total > 150_000
+    tables = scene.tables()
+    build_s = time.time() - t0
+    assert build_s < 120, build_s
+
+    rng = np.random.default_rng(0)
+    n = 256
+    o = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(3, 8, n)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 1] = -np.abs(d[:, 1])  # look down at the sphere field
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmax = jnp.full((n,), F32_MAX, jnp.float32)
+
+    ref = trace_closest(jnp.asarray(o), jnp.asarray(d), tmax, tables)
+    cl = trace_closest_clustered(
+        jnp.asarray(o), jnp.asarray(d), tmax, tables, tile=128
+    )
+    hits = np.asarray(ref.face) >= 0
+    assert hits.sum() > 100
+    np.testing.assert_array_equal(np.asarray(cl.face) >= 0, hits)
+    np.testing.assert_allclose(
+        np.asarray(cl.t)[hits], np.asarray(ref.t)[hits], rtol=5e-4,
+        atol=1e-4,
+    )
+
+
+@pytest.mark.slow
+def test_pallas_fallback_for_large_scenes():
+    """Cluster tables above the VMEM budget must route 'auto'/'pallas' to
+    the XLA clustered backend instead of failing in the kernel."""
+    from webgpu_raytracing_tpu.ops.integrator import _resolve_backend
+
+    scene = stress_scene(200_000)
+    tables = scene.tables()
+    st = RenderSettings(traversal="pallas")
+    assert _resolve_backend(st, tables) == "clustered"
+
+    from webgpu_raytracing_tpu.models.test_models import uv_sphere
+    from webgpu_raytracing_tpu.models.scene import scene_from_facesets
+
+    small = scene_from_facesets(
+        [("s", uv_sphere((0, 0, -4), 1.0, lat=6, lon=8))],
+        np.ones((1, 3), np.float32), np.zeros((1, 3), np.float32),
+    )
+    assert _resolve_backend(st, small.tables()) == "pallas"

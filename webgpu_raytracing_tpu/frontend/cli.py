@@ -101,36 +101,68 @@ def _build(args):
         reprojection_rate=args.reprojection_rate,
         debug_bvh=args.debug_bvh,
     )
-    scene = load_scene(args.obj, args.mtl)
+    if getattr(args, "scene", "bundled") == "analytic":
+        import numpy as _np
+
+        from ..models.scene import scene_from_facesets
+        from ..models.test_models import ground_plane, uv_sphere
+
+        scene = scene_from_facesets(
+            [
+                ("light", uv_sphere((0, 6, -6), 1.0, material_idx=0,
+                                    lat=8, lon=12)),
+                ("sphere_a", uv_sphere((-1.4, 1.0, -6), 1.0,
+                                       material_idx=1)),
+                ("sphere_b", uv_sphere((1.4, 0.8, -7), 0.8,
+                                       material_idx=2)),
+                ("plane", ground_plane(0.0, 20.0, material_idx=3)),
+            ],
+            _np.array(
+                [[0, 0, 0], [0.8, 0.3, 0.3], [0.3, 0.4, 0.8],
+                 [0.7, 0.7, 0.7]], _np.float32,
+            ),
+            _np.array(
+                [[12, 12, 12], [0, 0, 0], [0, 0, 0], [0, 0, 0]],
+                _np.float32,
+            ),
+        )
+    elif getattr(args, "scene", "bundled") == "stress1m":
+        from ..models.stress import stress_scene
+
+        scene = stress_scene(1_000_000)
+    else:
+        scene = load_scene(args.obj, args.mtl)
     return Renderer(scene, settings, env_data=env_data, base_seed=args.seed)
 
 
 def cmd_render(args):
+    import contextlib
+
     from ..utils.image import write_png
+    from ..utils.timing import FrameMetrics, profile_trace
 
     _enable_cache()
     r = _build(args)
     if args.resume and os.path.exists(args.resume):
         r.load_checkpoint(args.resume)
         print(f"resumed at counter={r.counter}")
-    t0 = time.time()
+    metrics = FrameMetrics(path=args.metrics)
     per_frame = 1 + r.settings.sample_count
-    while r.counter * per_frame < args.spp:
-        r.step()
-        print(
-            json.dumps(
-                {
-                    "frame": r.counter,
-                    "spp": r.counter * per_frame,
-                    "rays": r.last_rays,
-                    "wall_s": round(time.time() - t0, 3),
-                }
+    prof = profile_trace(args.profile) if args.profile else contextlib.nullcontext()
+    with prof:
+        while r.counter * per_frame < args.spp:
+            t0 = time.perf_counter()
+            r.step()
+            row = metrics.record(
+                time.perf_counter() - t0, r.last_rays,
+                r.counter * per_frame,
             )
-        )
-        if args.checkpoint and r.counter % args.checkpoint_every == 0:
-            r.save_checkpoint(args.checkpoint)
+            print(json.dumps(row))
+            if args.checkpoint and r.counter % args.checkpoint_every == 0:
+                r.save_checkpoint(args.checkpoint)
     if args.checkpoint:
         r.save_checkpoint(args.checkpoint)
+    metrics.close()
     write_png(args.output, r.image())
     print(f"wrote {args.output}")
 
@@ -185,11 +217,43 @@ def cmd_orbit(args):
         print(f"wrote {out} (spp={r.counter * per_frame})")
 
 
+def cmd_config(args):
+    """BASELINE.json milestone configs (see BASELINE.md)."""
+    presets = {
+        # 1: analytic spheres+plane, 256x256 @ 1 spp, direct lighting only
+        1: ["render", "--size", "256x256", "--spp", "1", "--bounces", "1",
+            "--projection", "perspective", "--scene", "analytic"],
+        # 2: bundled OBJ + BVH, 512x512 @ 4 spp, cubemap skybox
+        2: ["render", "--size", "512x512", "--spp", "4", "--env", "cubemap"],
+        # 3: OBJ + 4k HDR env importance sampling, 1080p @ 16 spp
+        3: ["render", "--size", "1080p", "--spp", "16", "--env", "equirect",
+            "--env-importance"],
+        # 4: progressive accumulation to 1024 spp with scripted orbit
+        4: ["orbit", "--size", "256x256", "--spp", "1024", "--frames", "4"],
+        # 5: 1M-triangle stress scene, 4K @ 256 spp
+        5: ["render", "--size", "4k", "--spp", "256", "--scene", "stress1m"],
+    }
+    argv = presets[args.n]
+    if args.output:
+        argv += ["-o", args.output]
+    if args.env_file:
+        argv += ["--env-file", args.env_file]
+    if args.spp is not None:
+        i = argv.index("--spp")
+        argv[i + 1] = str(args.spp)
+    print(json.dumps({"config": args.n, "argv": argv}))
+    main(argv)
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="webgpu_raytracing_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def common(sp):
+        sp.add_argument(
+            "--scene", default="bundled",
+            choices=["bundled", "analytic", "stress1m"],
+        )
         sp.add_argument("--obj", default=DEFAULT_OBJ)
         sp.add_argument("--mtl", default=DEFAULT_MTL)
         sp.add_argument("--size", default="256x256")
@@ -226,7 +290,19 @@ def build_parser():
     sp.add_argument("--checkpoint", default=None)
     sp.add_argument("--checkpoint-every", type=int, default=16)
     sp.add_argument("--resume", default=None)
+    sp.add_argument("--metrics", default=None, help="JSONL metrics path")
+    sp.add_argument("--profile", default=None, help="jax.profiler trace dir")
     sp.set_defaults(fn=cmd_render)
+
+    sp = sub.add_parser(
+        "config", help="run a BASELINE milestone config (1-5)"
+    )
+    sp.add_argument("n", type=int, choices=[1, 2, 3, 4, 5])
+    sp.add_argument("-o", "--output", default=None)
+    sp.add_argument("--env-file", default=None,
+                    help="equirect .exr/.hdr for config 3")
+    sp.add_argument("--spp", type=int, default=None, help="override spp")
+    sp.set_defaults(fn=cmd_config)
 
     sp = sub.add_parser("bench", help="throughput benchmark")
     common(sp)
