@@ -53,11 +53,14 @@ def main():
     buffers = FrameBuffers.create(width, height)
     view = jnp.eye(4, dtype=jnp.float32)
 
-    # warmup / compile
-    buffers, rays = render_frame(
-        buffers, tables, env, FrameInputs.simple(view, 1, 0), settings
-    )
-    jax.block_until_ready(buffers.image)
+    # warmup / compile (two frames: the second covers the donated-buffer
+    # signature; readback forces real completion through the device tunnel)
+    for k in range(2):
+        buffers, rays = render_frame(
+            buffers, tables, env, FrameInputs.simple(view, k + 1, k),
+            settings,
+        )
+        float(rays)
 
     n_frames = 4
     total_rays = 0.0

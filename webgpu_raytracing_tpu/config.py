@@ -135,7 +135,7 @@ class RenderSettings:
     # (ops/traverse.py, gather-bound oracle).
     traversal: str = "auto"
     # Ray-tile size for clustered tracing (coherent pixel groups).
-    trace_tile: int = 512
+    trace_tile: int = 128
     # Next-event estimation. The reference ships the NEE chain
     # (``pointColor``/``sampleLights`` render.ts:1143-1157, 849-869) but
     # never calls it from the megakernel main; default off for parity.

@@ -87,7 +87,7 @@ class Scene:
             mat_names=self.mat_names,
         )
 
-    def tables(self, cluster_size: int = 64) -> SceneTables:
+    def tables(self, cluster_size: int = 128) -> SceneTables:
         """Flatten all models into threaded traversal + shading tables."""
         import jax.numpy as jnp
 

@@ -158,16 +158,13 @@ def trace_closest_clustered_pallas(
 
     c = ct.n_clusters
     s = ct.face_id.shape[1]
-    # pad C to a lane-friendly multiple of 128 with never-hit clusters
+    # only the near-vector lane dim needs 128-padding; the cluster table
+    # keeps its true C (padded nears are +inf, so cid never lands there)
     cp = max(128, -(-c // 128) * 128)
     matb = ct.mat_b
     if matb.shape[1] != 16:
         matb = jnp.pad(matb, ((0, 0), (0, 16 - matb.shape[1]), (0, 0)))
-    if cp != c:
-        matb = jnp.pad(matb, ((0, cp - c), (0, 0), (0, 0)))
-    face_id = jnp.pad(
-        ct.face_id, ((0, cp - c), (0, 0)), constant_values=-1
-    )
+    face_id = ct.face_id
 
     w = jnp.cross(o, d)
     ones = jnp.ones((r, 1), jnp.float32)
