@@ -210,3 +210,23 @@ def test_sample_bilinear_midpoint():
     img[1, 1] = 3.0
     out = np.asarray(sample_bilinear(jnp.asarray(img), jnp.asarray([[0.5, 0.5]])))
     np.testing.assert_allclose(out[0, 0], 1.5, atol=1e-6)
+
+
+def test_controls_move_and_rotate():
+    """controls.ts semantics: WASD assembles a normalized move vector
+    scaled by speed*dt; Shift runs; pointer rotates by dt*sensitivity."""
+    from webgpu_raytracing_tpu.camera import Camera, Controls
+
+    cam = Camera()
+    c = Controls(cam, sensitivity=0.03, speed=2.0, run_speed=5.0)
+    c.press("w")
+    assert c.update(0.5)
+    # identity orientation: front basis is (0,0,1) ground-projected
+    np.testing.assert_allclose(cam.position, [0, 0, 1.0], atol=1e-6)
+    c.press("Shift")
+    c.update(0.5)
+    np.testing.assert_allclose(cam.position, [0, 0, 3.5], atol=1e-6)
+    c.release_all()
+    assert not c.update(0.5)
+    assert c.pointer(1.0, 0.0, 0.1)  # yaw changed
+    assert not np.array_equal(cam.orientation, np.array([0, 0, 0, 1]))

@@ -107,3 +107,70 @@ def orbit_path(
         fwd = np.array([0.0, 0.0, -1.0], dtype=np.float32)
         cam.orientation = mx.quat_rotation_to(look, fwd)
         yield cam
+
+
+class Controls:
+    """Keyboard/pointer state → camera motion (controls.ts:1-107).
+
+    The reference assembles a per-frame move vector from held keys with a
+    Shift run-multiplier (controls.ts:76-107) and converts pointer deltas
+    to rotation scaled by dt·sensitivity (controls.ts:51-58). This is the
+    headless equivalent: feed key presses/releases and pointer deltas,
+    call :meth:`update` once per frame."""
+
+    FORWARD = {"w", "ArrowUp"}
+    BACK = {"s", "ArrowDown"}
+    LEFT = {"a", "ArrowLeft"}
+    RIGHT = {"d", "ArrowRight"}
+    UP = {" ", "Space"}
+    DOWN = {"Control", "c"}
+    RUN = {"Shift"}
+
+    def __init__(self, camera: Camera, sensitivity: float = 0.03,
+                 speed: float = 2.0, run_speed: float = 5.0):
+        self.camera = camera
+        self.sensitivity = sensitivity
+        self.speed = speed
+        self.run_speed = run_speed
+        self.keys: set = set()
+
+    # key tracking (store.ts:346-359)
+    def press(self, key: str) -> None:
+        self.keys.add(key)
+
+    def release(self, key: str) -> None:
+        self.keys.discard(key)
+
+    def release_all(self) -> None:  # blur releases lock (controls.ts:72-74)
+        self.keys.clear()
+
+    def pointer(self, dx: float, dy: float, dt: float) -> bool:
+        """mousemove → rotateCamera(d · dt · sensitivity)
+        (controls.ts:51-58). Returns True if the camera changed."""
+        d = np.array([dx, dy], np.float32) * dt * self.sensitivity
+        return self.camera.rotate(d)
+
+    def update(self, dt: float) -> bool:
+        """handleControls() (controls.ts:76-107): assemble the move vector
+        from held keys; Shift multiplies speed. Returns True on motion."""
+        def held(ks):
+            return any(k in self.keys for k in ks)
+
+        v = np.zeros(3, np.float32)
+        if held(self.FORWARD):
+            v[2] += 1.0
+        if held(self.BACK):
+            v[2] -= 1.0
+        if held(self.RIGHT):
+            v[0] += 1.0
+        if held(self.LEFT):
+            v[0] -= 1.0
+        if held(self.UP):
+            v[1] -= 1.0
+        if held(self.DOWN):
+            v[1] += 1.0
+        if not v.any():
+            return False
+        speed = self.run_speed if held(self.RUN) else self.speed
+        v = v / np.linalg.norm(v) * speed * dt
+        return self.camera.move(v)

@@ -204,7 +204,8 @@ def trace_closest_clustered(
             inv_d.reshape(n_tiles, tile, 3),
             t_max.reshape(n_tiles, tile),
         ),
-        batch_size=max(1, min(n_tiles, 4096 // max(tile // 256, 1))),
+        # big vector batches — O(1) sequential map steps (~512MB temps)
+        batch_size=max(1, min(n_tiles, 134_217_728 // (tile * c))),
     )  # (n_tiles, C)
 
     def cond(state):

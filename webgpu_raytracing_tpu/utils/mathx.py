@@ -139,3 +139,13 @@ def normalize(v: np.ndarray) -> np.ndarray:
     if n == 0:
         return np.zeros_like(v).astype(np.float32)
     return (v / n).astype(np.float32)
+
+
+def clamp(x, lo, hi):
+    """utils.ts clamp."""
+    return max(lo, min(hi, x))
+
+
+def lerp(a, b, t):
+    """utils.ts lerp."""
+    return a * (1.0 - t) + b * t
