@@ -47,16 +47,22 @@ def _kernel(
     a_ref,  # (1, T, 16) ray block: [o, w, d, 1, inv_d, t_max, pad, pad]
     near_ref,  # (1, 1, C) per-cluster tile entry distances (XLA-computed)
     matb_ref,  # (C, 16, 4S) cluster matrices (VMEM resident)
-    face_ref,  # (C, S) global face ids (VMEM resident)
     out_t_ref,  # (1, 1, T)
-    out_u_ref,
-    out_v_ref,
-    out_f_ref,  # int32
+    out_code_ref,  # (1, 1, T) int32: winning cid * S + slot (-1 = miss)
     *,
     n_s: int,
 ):
     a = a_ref[0]  # (T, 16)
     t_dim = a.shape[0]
+    # bf16 hi/lo split for 3-pass f32-accurate matmuls (Mosaic has no
+    # Precision.HIGH; HIGHEST is 6 passes — the dropped lo*lo term is
+    # ~2^-32 relative, far below intersection decision noise).
+    # Columns >= 10 carry inv_d/t_max (t_max can be 3.4e38 → inf in bf16;
+    # inf × 0-rows of B = NaN), so they are zeroed for the matmul operand.
+    col = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    a_mm = jnp.where(col < 10, a, 0.0)
+    a_hi = a_mm.astype(jnp.bfloat16)
+    a_lo = (a_mm - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     near0 = near_ref[0]  # (1, C)
     c_dim = near0.shape[1]
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, c_dim), 1)
@@ -69,14 +75,17 @@ def _kernel(
         return jnp.min(near) < jnp.max(best_t)
 
     def body(state):
-        near, best_t, best_u, best_v, best_f = state
+        near, best_t, best_code = state
         cmin = jnp.min(near)
         cid = jnp.min(jnp.where(near == cmin, iota_c, c_dim))
 
         b = matb_ref[cid]  # (16, 4S)
-        out = jnp.dot(
-            a, b, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = (
+            jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
+            + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
         )
         det = out[:, 0 * n_s : 1 * n_s]
         t_num = out[:, 1 * n_s : 2 * n_s]
@@ -101,34 +110,25 @@ def _kernel(
         slot = jnp.min(
             jnp.where(t_masked == cand_t[:, None], iota_s, n_s), axis=1
         )
-        sel = iota_s == slot[:, None]  # (T, S)
-        cand_u = jnp.sum(jnp.where(sel, u_num * inv_det, 0.0), axis=1)
-        cand_v = jnp.sum(jnp.where(sel, v_num * inv_det, 0.0), axis=1)
-        frow = face_ref[cid]  # (S,) int32
-        cand_f = jnp.sum(
-            jnp.where(sel, frow[None, :], 0), axis=1
-        ).astype(jnp.int32)
 
         improved = cand_t < best_t[0]
         best_t = jnp.where(improved, cand_t, best_t[0])[None, :]
-        best_u = jnp.where(improved, cand_u, best_u[0])[None, :]
-        best_v = jnp.where(improved, cand_v, best_v[0])[None, :]
-        best_f = jnp.where(improved, cand_f, best_f[0])[None, :]
+        # defer u/v/face: rounds only carry the winner's (cid, slot); the
+        # wrapper re-derives u/v once per ray from the winning triangle
+        best_code = jnp.where(
+            improved, cid * n_s + slot, best_code[0]
+        )[None, :]
         near = jnp.where(iota_c == cid, _INF, near)
-        return near, best_t, best_u, best_v, best_f
+        return near, best_t, best_code
 
     init = (
         near0,
         t_max[None, :],
-        jnp.zeros((1, t_dim), jnp.float32),
-        jnp.zeros((1, t_dim), jnp.float32),
         jnp.full((1, t_dim), -1, jnp.int32),
     )
-    _, best_t, best_u, best_v, best_f = jax.lax.while_loop(cond, body, init)
+    _, best_t, best_code = jax.lax.while_loop(cond, body, init)
     out_t_ref[0] = best_t
-    out_u_ref[0] = best_u
-    out_v_ref[0] = best_v
-    out_f_ref[0] = best_f
+    out_code_ref[0] = best_code
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
@@ -164,7 +164,6 @@ def trace_closest_clustered_pallas(
     matb = ct.mat_b
     if matb.shape[1] != 16:
         matb = jnp.pad(matb, ((0, 0), (0, 16 - matb.shape[1]), (0, 0)))
-    face_id = ct.face_id
 
     w = jnp.cross(o, d)
     ones = jnp.ones((r, 1), jnp.float32)
@@ -195,14 +194,12 @@ def trace_closest_clustered_pallas(
     kernel = functools.partial(_kernel, n_s=s)
     out_shape = (
         jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.float32),
         jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.int32),
     )
     row_spec = pl.BlockSpec(
         (1, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    best_t, best_u, best_v, best_f = pl.pallas_call(
+    best_t, best_code = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -213,18 +210,35 @@ def trace_closest_clustered_pallas(
                 (1, 1, cp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (cp, 16, 4 * s), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                (c, 16, 4 * s), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((cp, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(row_spec, row_spec, row_spec, row_spec),
+        out_specs=(row_spec, row_spec),
         out_shape=out_shape,
         interpret=interpret,
-    )(a_mat, near_tc.reshape(n_tiles, 1, cp), matb, face_id)
+    )(a_mat, near_tc.reshape(n_tiles, 1, cp), matb)
 
+    best_t = best_t.reshape(r)[:r0]
+    code = best_code.reshape(r)[:r0]
+    hit_mask = code >= 0
+    face = jnp.where(
+        hit_mask,
+        jnp.take(ct.face_id.reshape(-1), jnp.maximum(code, 0)),
+        -1,
+    ).astype(jnp.int32)
+
+    # re-derive barycentrics for the winning triangle (classic MT on one
+    # gathered row per ray — fused with the shading gathers downstream)
+    from .intersect import ray_triangle
+
+    tri = jnp.take(tables.tri, jnp.maximum(face, 0), axis=0)
+    th = ray_triangle(
+        o[:r0], d[:r0], tri[:, 0:3], tri[:, 3:6], tri[:, 6:9],
+        0.0, _INF,
+    )
     return Hit(
-        t=best_t.reshape(r)[:r0],
-        u=best_u.reshape(r)[:r0],
-        v=best_v.reshape(r)[:r0],
-        face=best_f.reshape(r)[:r0],
+        t=best_t,
+        u=jnp.where(hit_mask, th.u, 0.0),
+        v=jnp.where(hit_mask, th.v, 0.0),
+        face=face,
     )
