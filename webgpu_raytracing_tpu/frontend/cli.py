@@ -245,6 +245,19 @@ def cmd_config(args):
     main(argv)
 
 
+def cmd_compare(args):
+    """RMSE between two images (the parity metric, BASELINE.md)."""
+    from ..utils.image import read_image, rmse
+
+    a = read_image(args.a)
+    b = read_image(args.b)
+    if a.shape != b.shape:
+        raise SystemExit(f"shape mismatch: {a.shape} vs {b.shape}")
+    val = rmse(a, b)
+    print(json.dumps({"rmse": round(val, 6), "a": args.a, "b": args.b,
+                      "within_1e-2": bool(val <= 1e-2)}))
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="webgpu_raytracing_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -293,6 +306,11 @@ def build_parser():
     sp.add_argument("--metrics", default=None, help="JSONL metrics path")
     sp.add_argument("--profile", default=None, help="jax.profiler trace dir")
     sp.set_defaults(fn=cmd_render)
+
+    sp = sub.add_parser("compare", help="RMSE between two images")
+    sp.add_argument("a")
+    sp.add_argument("b")
+    sp.set_defaults(fn=cmd_compare)
 
     sp = sub.add_parser(
         "config", help="run a BASELINE milestone config (1-5)"

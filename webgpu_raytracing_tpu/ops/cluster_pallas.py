@@ -187,7 +187,8 @@ def trace_closest_clustered_pallas(
             inv_d.reshape(n_tiles, tile, 3),
             t_max.reshape(n_tiles, tile),
         ),
-        batch_size=max(1, min(n_tiles, 2_000_000 // (tile * cp))),
+        # big vector batches: O(1) sequential map steps (~512MB temps)
+        batch_size=max(1, min(n_tiles, 134_217_728 // (tile * cp))),
     )
 
     grid = (n_tiles,)
