@@ -183,3 +183,27 @@ def test_pallas_kernel_interpret_matches_threaded(rng_np):
         np.asarray(pk.t)[hits], np.asarray(ref.t)[hits], rtol=2e-4,
         atol=1e-5,
     )
+
+
+def test_sorted_trace_matches_plain(rng_np):
+    """ops/ray_sort.sorted_trace is a pure reordering — results must be
+    identical to the plain clustered trace."""
+    from webgpu_raytracing_tpu.ops.ray_sort import sorted_trace
+
+    scene = _scene()
+    tables = scene.tables()
+    n = 256
+    o = rng_np.uniform(-3, 3, (n, 3)).astype(np.float32)
+    d = rng_np.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmax = jnp.full((n,), F32_MAX, jnp.float32)
+
+    trace = lambda a, b, c, t, act: trace_closest_clustered(
+        a, b, c, t, act, tile=64
+    )
+    plain = trace(jnp.asarray(o), jnp.asarray(d), tmax, tables, None)
+    srt = sorted_trace(trace, jnp.asarray(o), jnp.asarray(d), tmax, tables)
+    np.testing.assert_array_equal(np.asarray(plain.face), np.asarray(srt.face))
+    np.testing.assert_allclose(
+        np.asarray(plain.t), np.asarray(srt.t), rtol=1e-6
+    )

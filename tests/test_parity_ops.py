@@ -66,3 +66,32 @@ def test_golden_image_regression():
     got = np.asarray(r.buffers.image)
     rmse = float(np.sqrt(np.mean((got - golden) ** 2)))
     assert rmse < 1e-5, rmse
+
+
+def test_debug_bvh_wireframe_overlay():
+    """K17: the debug wireframe rasterizes node boxes into the display
+    image (render.ts:1517-1630)."""
+    from webgpu_raytracing_tpu.config import ProjectionType, RenderSettings
+    from webgpu_raytracing_tpu.models.scene import scene_from_facesets
+    from webgpu_raytracing_tpu.models.test_models import uv_sphere
+    from webgpu_raytracing_tpu.renderer import Renderer
+
+    scene = scene_from_facesets(
+        [("s", uv_sphere((0, 0, -4), 1.0, lat=6, lon=8))],
+        np.ones((1, 3), np.float32) * 0.8,
+        np.zeros((1, 3), np.float32),
+    )
+    st = RenderSettings(
+        width=64, height=64, bounces_depth=2, sample_count=0,
+        environment="black",
+        projection_type=ProjectionType.PERSPECTIVE, fov=0.8,
+    )
+    r = Renderer(scene, st.replace(debug_bvh=True), base_seed=1)
+    r.step()
+    with_wire = r.image()
+    r2 = Renderer(scene, st, base_seed=1)
+    r2.step()
+    without = r2.image()
+    assert np.isfinite(with_wire).all()
+    # the overlay must add visible energy along box edges
+    assert with_wire.sum() > without.sum() + 1.0
