@@ -51,6 +51,7 @@ def _kernel(
     out_code_ref,  # (1, 1, T) int32: winning cid * S + slot (-1 = miss)
     *,
     n_s: int,
+    any_hit: bool = False,
 ):
     a = a_ref[0]  # (T, 16)
     t_dim = a.shape[0]
@@ -71,7 +72,12 @@ def _kernel(
 
     # ---- near-ordered cluster rounds ----
     def cond(state):
-        near, best_t, *_ = state
+        near, best_t, best_code = state
+        if any_hit:
+            # shadow-ray semantics: a ray is done at its FIRST valid hit;
+            # remaining rays still bound the search by their t_max
+            pending = jnp.where(best_code < 0, t_max[None, :], 0.0)
+            return jnp.min(near) < jnp.max(pending)
         return jnp.min(near) < jnp.max(best_t)
 
     def body(state):
@@ -131,7 +137,9 @@ def _kernel(
     out_code_ref[0] = best_code
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("tile", "interpret", "any_hit")
+)
 def trace_closest_clustered_pallas(
     o: jnp.ndarray,
     d: jnp.ndarray,
@@ -140,8 +148,13 @@ def trace_closest_clustered_pallas(
     active: jnp.ndarray | None = None,
     tile: int = 512,
     interpret: bool = False,
+    any_hit: bool = False,
 ) -> Hit:
-    """Drop-in closest-hit using the Pallas tile kernel."""
+    """Drop-in closest-hit using the Pallas tile kernel. With ``any_hit``
+    the per-tile rounds stop as soon as every live ray has found *some*
+    valid hit (shadow-ray semantics — the reference's
+    rayIntersectBVHAnyHit, render.ts:468-480); the returned t is then any
+    valid hit, not necessarily the closest."""
     ct: ClusterTables = tables.clusters
     r0 = o.shape[0]
     if active is None:
@@ -192,7 +205,7 @@ def trace_closest_clustered_pallas(
     )
 
     grid = (n_tiles,)
-    kernel = functools.partial(_kernel, n_s=s)
+    kernel = functools.partial(_kernel, n_s=s, any_hit=any_hit)
     out_shape = (
         jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.float32),
         jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.int32),

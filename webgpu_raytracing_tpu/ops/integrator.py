@@ -80,7 +80,8 @@ def _trace_any(o, d, t_max, tables, settings, active=None):
         from .cluster_pallas import trace_closest_clustered_pallas
 
         hit = trace_closest_clustered_pallas(
-            o, d, t_max, tables, active, tile=settings.trace_tile
+            o, d, t_max, tables, active, tile=settings.trace_tile,
+            any_hit=True,
         )
         return hit.face >= 0
     if backend == "clustered":
