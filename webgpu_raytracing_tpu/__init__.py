@@ -22,6 +22,7 @@ WGSL megakernel; this framework is built TPU-first instead:
 
 __version__ = "0.1.0"
 
+from .camera import Camera, Controls, orbit_path
 from .config import (
     BlitView,
     FovOrientation,
@@ -32,7 +33,20 @@ from .config import (
     Tonemapping,
 )
 
+from .models.scene import Scene, load_scene, scene_from_facesets
+from .renderer import FrameBuffers, FrameInputs, Renderer, render_frame
+
 __all__ = [
+    "Renderer",
+    "render_frame",
+    "FrameBuffers",
+    "FrameInputs",
+    "Scene",
+    "load_scene",
+    "scene_from_facesets",
+    "Camera",
+    "Controls",
+    "orbit_path",
     "RenderSettings",
     "ShadingType",
     "ProjectionType",
