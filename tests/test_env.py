@@ -204,3 +204,69 @@ def test_read_hdr_roundtrip(tmp_path):
     out = read_hdr(p)
     # RGBE quantizes to 8 bits/mantissa
     np.testing.assert_allclose(out, img, rtol=0.02, atol=0.02)
+
+
+def _write_zip_exr(path, img):
+    """Synthesize a ZIPS-compressed (1 line/block) EXR to cover the
+    cumulative un-delta reconstruction path."""
+    h, w = img.shape[0], img.shape[1]
+
+    def attr(name, atype, data):
+        return (
+            name.encode() + b"\x00" + atype.encode() + b"\x00"
+            + struct.pack("<i", len(data)) + data
+        )
+
+    chans = b""
+    for cname in ("B", "G", "R"):
+        chans += cname.encode() + b"\x00" + struct.pack("<iiii", 2, 0, 1, 1)
+    chans += b"\x00"
+    header = b"\x76\x2f\x31\x01" + struct.pack("<i", 2)
+    header += attr("channels", "chlist", chans)
+    header += attr("compression", "compression", b"\x02")  # ZIPS
+    header += attr(
+        "dataWindow", "box2i", struct.pack("<4i", 0, 0, w - 1, h - 1)
+    )
+    header += attr(
+        "displayWindow", "box2i", struct.pack("<4i", 0, 0, w - 1, h - 1)
+    )
+    header += attr("lineOrder", "lineOrder", b"\x00")
+    header += attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+    header += attr("screenWindowCenter", "v2f", struct.pack("<ff", 0, 0))
+    header += attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+    header += b"\x00"
+
+    blocks = []
+    for y in range(h):
+        raw = b"".join(
+            img[y, :, ci].astype("<f4").tobytes() for ci in (2, 1, 0)
+        )
+        arr = np.frombuffer(raw, np.uint8).astype(np.int64)
+        # EXR zip pre-processing: interleave-split then delta-encode
+        half = (len(arr) + 1) // 2
+        split = np.empty_like(arr)
+        split[:half] = arr[0::2]
+        split[half:] = arr[1::2]
+        enc = split.copy()
+        enc[1:] = (split[1:] - split[:-1] + 128) % 256
+        blocks.append(zlib.compress(enc.astype(np.uint8).tobytes()))
+
+    table_start = len(header)
+    data_start = table_start + 8 * h
+    offsets, body, off = [], b"", data_start
+    for y, blk in enumerate(blocks):
+        offsets.append(off)
+        body += struct.pack("<ii", y, len(blk)) + blk
+        off += 8 + len(blk)
+    table = b"".join(struct.pack("<q", o) for o in offsets)
+    with open(path, "wb") as fh:
+        fh.write(header + table + body)
+
+
+def test_read_exr_zip_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    img = rng.random((5, 7, 3)).astype(np.float32) * 3.0
+    p = str(tmp_path / "z.exr")
+    _write_zip_exr(p, img)
+    out = read_exr(p)
+    np.testing.assert_allclose(out, img, rtol=1e-6)

@@ -230,3 +230,22 @@ def test_controls_move_and_rotate():
     assert not c.update(0.5)
     assert c.pointer(1.0, 0.0, 0.1)  # yaw changed
     assert not np.array_equal(cam.orientation, np.array([0, 0, 0, 1]))
+
+
+def test_orbit_path_faces_center():
+    """Orbit cameras must sit on the circle and look at the center,
+    accounting for the view matrix's -position translation."""
+    from webgpu_raytracing_tpu.camera import orbit_path
+    from webgpu_raytracing_tpu.utils import mathx as mx
+
+    center = np.array([0.0, 1.0, -6.0], np.float32)
+    for cam in orbit_path(center, 6.0, 1.0, 4):
+        view = cam.view_matrix()
+        origin = view[:3, 3]  # world-space camera origin
+        np.testing.assert_allclose(
+            np.linalg.norm((origin - center)[[0, 2]]), 6.0, rtol=1e-4
+        )
+        # camera forward = R @ (0,0,-1) must point at the center
+        fwd = view[:3, :3] @ np.array([0, 0, -1.0], np.float32)
+        want = (center - origin) / np.linalg.norm(center - origin)
+        np.testing.assert_allclose(fwd, want, atol=1e-4)

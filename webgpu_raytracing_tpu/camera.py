@@ -95,17 +95,18 @@ def orbit_path(
     center = np.asarray(center, dtype=np.float32)
     for k in range(n_frames):
         ang = 2.0 * np.pi * k / max(n_frames, 1)
-        pos = center + np.array(
+        world_pos = center + np.array(
             [radius * np.sin(ang), height, radius * np.cos(ang)],
             dtype=np.float32,
         )
-        cam = Camera(position=pos.copy())
-        # face the center: rotate FRONT-at-identity (0,0,1 in camera basis
-        # maps to -z view dir in raygen) toward the center direction
-        look = mx.normalize(center - pos)
-        # camera looks down -z in view space; orientation takes world → view
+        # the view matrix translates by -position (store.ts:104-113), so
+        # the camera's WORLD origin is -position
+        cam = Camera(position=-world_pos)
+        # orientation maps camera space → world; the camera looks down
+        # its -z (raygen), so rotate (0,0,-1) onto the look direction
+        look = mx.normalize(center - world_pos)
         fwd = np.array([0.0, 0.0, -1.0], dtype=np.float32)
-        cam.orientation = mx.quat_rotation_to(look, fwd)
+        cam.orientation = mx.quat_rotation_to(fwd, look)
         yield cam
 
 

@@ -45,12 +45,13 @@ def _resolve_backend(settings, tables) -> str:
         import jax
 
         backend = (
-            "pallas" if jax.default_backend() not in ("cpu",) else "clustered"
+            "pallas" if jax.default_backend() == "tpu" else "clustered"
         )
     if backend == "pallas":
-        matb_bytes = 4 * int(
-            np.prod(jnp.shape(tables.clusters.mat_b))
-        )
+        # the kernel pads the contraction dim 10 → 16 before loading the
+        # table into VMEM; budget the padded size
+        c_, _rows, cols = jnp.shape(tables.clusters.mat_b)
+        matb_bytes = 4 * c_ * 16 * cols
         if matb_bytes > _PALLAS_VMEM_BUDGET:
             backend = "clustered"
     return backend
@@ -364,6 +365,8 @@ def trace_direct(
 ) -> PathResult:
     """Direct-lighting-only integrator (BASELINE config #1): one primary
     hit, emission + NEE, environment on miss."""
+    if settings.env_importance_sampling:
+        env_data = env_data.img  # EnvDistribution → radiance image
     r = o.shape[0]
     hit = _trace_closest(o, d, t_max0, tables, settings)
     found = hit.face >= 0

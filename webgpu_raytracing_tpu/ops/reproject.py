@@ -162,9 +162,13 @@ def reproject(
     # shrinking by 0.005 every 16 — masked fixed-trip loop.
     def search_body(i, carry):
         min_uv, d, st = carry
-        step = 0.1 - 0.005 * (i // 16).astype(jnp.float32)
+        # render.ts:1085-1087 decrements ON i%16==0 including i=0, so
+        # probes 0-15 already use 0.095
+        step = 0.1 - 0.005 * (i // 16 + 1).astype(jnp.float32)
         t2, st2 = rng.random_2(st)
-        active = d >= REPROJECT_THRESHOLD
+        # the reference returns before the search for out-of-viewport
+        # pixels (render.ts:1067-1073) — no RNG draws there
+        active = inside & (d >= REPROJECT_THRESHOLD)
         st = rng.masked_advance(st, st2, active)
         cand = min_uv - rng.sample_insquare(t2) * step
         cd = dist2(cand)

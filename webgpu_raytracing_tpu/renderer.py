@@ -245,6 +245,12 @@ def render_tile(
 
     if settings.debug_reprojection:
         new_image = image
+    elif settings.blit_view == BlitView.NORMALS:
+        # render.ts:1503-1504: the normals view REPLACES the buffer each
+        # frame (no progressive accumulation)
+        new_image = jnp.concatenate(
+            [color, jnp.ones_like(samples)], axis=-1
+        ).reshape(h, w, 4)
     else:
         new_image = image + jnp.concatenate(
             [color, samples], axis=-1
@@ -332,6 +338,7 @@ class Renderer:
         self._rng = np.random.default_rng(base_seed)
         self.last_rays = 0.0  # rays traced in the last frame (metrics)
         self._prev_view = np.eye(4, dtype=np.float32)
+        self._jitter = None
 
     # --- reset policy (resetCounter, store.ts:240-242) ---
     def reset(self) -> None:
@@ -363,10 +370,15 @@ class Renderer:
         update_prev = rate == 0 or self.frame_counter % rate == 0
         if rate:
             self.frame_counter = (self.frame_counter + 1) % rate
-        jitter = (
-            (self._rng.random(2).astype(np.float32) - 0.5)
-            * self.settings.jitter_strength
-        )
+        if update_prev or self._jitter is None:
+            # the reference rewrites the jitter uniform only when
+            # updatePrev fires (render.ts:1660-1665), keeping intermediate
+            # frames aligned with the prev-buffer snapshot
+            self._jitter = (
+                (self._rng.random(2).astype(np.float32) - 0.5)
+                * self.settings.jitter_strength
+            )
+        jitter = self._jitter
         frustum = reprojection_frustum(
             self._prev_view,
             self.settings.width,

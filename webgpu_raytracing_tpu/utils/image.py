@@ -164,11 +164,11 @@ def read_exr(path: str) -> np.ndarray:
         block = data[off + 8 : off + 8 + nbytes]
         if comp in (2, 3):
             raw2 = zlib.decompress(block)
-            # EXR zip: un-delta then un-interleave
-            arr = np.frombuffer(raw2, np.uint8).copy()
-            arr[1:] = (
-                arr[1:].astype(np.int16) + arr[:-1].astype(np.int16) - 128
-            ).astype(np.uint8)
+            # EXR zip: un-delta (cumulative — each byte adds enc[i]-128 to
+            # the RECONSTRUCTED previous byte) then un-interleave
+            enc = np.frombuffer(raw2, np.uint8).astype(np.int64)
+            enc[1:] -= 128
+            arr = (np.cumsum(enc) % 256).astype(np.uint8)
             half = (len(arr) + 1) // 2
             out_b = np.zeros_like(arr)
             out_b[0::2] = arr[:half]
