@@ -207,3 +207,29 @@ def test_sorted_trace_matches_plain(rng_np):
     np.testing.assert_allclose(
         np.asarray(plain.t), np.asarray(srt.t), rtol=1e-6
     )
+
+
+def test_pallas_any_hit_interpret_matches_threaded(rng_np):
+    """The any-hit early-exit kernel path (shadow rays) must agree with
+    the threaded any-hit oracle, bounded and unbounded."""
+    from webgpu_raytracing_tpu.ops.cluster_pallas import (
+        trace_closest_clustered_pallas,
+    )
+    from webgpu_raytracing_tpu.ops.traverse import trace_any
+
+    scene = _scene()
+    tables = scene.tables()
+    n = 384
+    o = rng_np.uniform(-3, 3, (n, 3)).astype(np.float32)
+    d = rng_np.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    for tmax_val in (F32_MAX, 2.5):
+        tmax = jnp.full((n,), tmax_val, jnp.float32)
+        ref = trace_any(jnp.asarray(o), jnp.asarray(d), tmax, tables)
+        pk = trace_closest_clustered_pallas(
+            jnp.asarray(o), jnp.asarray(d), tmax, tables, tile=128,
+            interpret=True, any_hit=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(pk.face) >= 0, np.asarray(ref)
+        )

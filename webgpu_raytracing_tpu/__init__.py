@@ -22,7 +22,6 @@ WGSL megakernel; this framework is built TPU-first instead:
 
 __version__ = "0.1.0"
 
-from .camera import Camera, Controls, orbit_path
 from .config import (
     BlitView,
     FovOrientation,
@@ -33,8 +32,31 @@ from .config import (
     Tonemapping,
 )
 
-from .models.scene import Scene, load_scene, scene_from_facesets
-from .renderer import FrameBuffers, FrameInputs, Renderer, render_frame
+_LAZY = {
+    "Camera": ("webgpu_raytracing_tpu.camera", "Camera"),
+    "Controls": ("webgpu_raytracing_tpu.camera", "Controls"),
+    "orbit_path": ("webgpu_raytracing_tpu.camera", "orbit_path"),
+    "Scene": ("webgpu_raytracing_tpu.models.scene", "Scene"),
+    "load_scene": ("webgpu_raytracing_tpu.models.scene", "load_scene"),
+    "scene_from_facesets": (
+        "webgpu_raytracing_tpu.models.scene", "scene_from_facesets"
+    ),
+    "FrameBuffers": ("webgpu_raytracing_tpu.renderer", "FrameBuffers"),
+    "FrameInputs": ("webgpu_raytracing_tpu.renderer", "FrameInputs"),
+    "Renderer": ("webgpu_raytracing_tpu.renderer", "Renderer"),
+    "render_frame": ("webgpu_raytracing_tpu.renderer", "render_frame"),
+}
+
+
+def __getattr__(name):  # PEP 562 — keep `import webgpu_raytracing_tpu`
+    # (and CLI --help / compare) free of the multi-second jax startup
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(name)
+
 
 __all__ = [
     "Renderer",

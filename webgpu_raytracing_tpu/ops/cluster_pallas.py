@@ -19,9 +19,10 @@ Layout notes:
 * boxes are stored transposed (8, C) so slab tests broadcast along lanes;
 * per-tile state vectors are (1, C)/(1, T) rows updated with masked
   ``where`` (no dynamic-lane scatters);
-* the matmul runs at Precision.HIGHEST — intersection decisions compare
-  u/v against det and need full f32 mantissas (bf16 passes flip ~17% of
-  faces on the bundled scene).
+* the matmul is a hand-rolled 3-pass bf16 hi/lo split (≈ f32 accuracy;
+  Mosaic lacks Precision.HIGH and HIGHEST's 6 passes cost 2.5×; plain
+  1-pass bf16 flips ~17% of face decisions and is unusable). Sentinel
+  columns (t_max = 3.4e38) are masked before the cast — bf16(3.4e38)=inf.
 """
 
 from __future__ import annotations
@@ -200,8 +201,10 @@ def trace_closest_clustered_pallas(
             inv_d.reshape(n_tiles, tile, 3),
             t_max.reshape(n_tiles, tile),
         ),
-        # big vector batches: O(1) sequential map steps (~512MB temps)
-        batch_size=max(1, min(n_tiles, 134_217_728 // (tile * cp))),
+        # big vector batches — O(1) sequential map steps. _boxes_near
+        # materializes two (B, tile, C, 3) f32 temporaries, so a budget of
+        # E = B·tile·C elements costs ~24·E bytes (~400 MB at 16M).
+        batch_size=max(1, min(n_tiles, 16_777_216 // (tile * cp))),
     )
 
     grid = (n_tiles,)
@@ -241,18 +244,29 @@ def trace_closest_clustered_pallas(
         -1,
     ).astype(jnp.int32)
 
-    # re-derive barycentrics for the winning triangle (classic MT on one
-    # gathered row per ray — fused with the shading gathers downstream)
-    from .intersect import ray_triangle
+    if any_hit:
+        # shadow-ray callers only consume the hit flag — skip the
+        # barycentric re-derivation entirely
+        zeros_uv = jnp.zeros_like(best_t)
+        return Hit(t=best_t, u=zeros_uv, v=zeros_uv, face=face)
 
+    # re-derive barycentrics for the winning triangle — UNMASKED classic
+    # Möller–Trumbore algebra (not ray_triangle, whose validity gates
+    # could zero u/v when the exact test disagrees with the kernel's
+    # bf16x3 decision on a grazing ray; the kernel's verdict stands)
+    oo, dd = o[:r0], d[:r0]
     tri = jnp.take(tables.tri, jnp.maximum(face, 0), axis=0)
-    th = ray_triangle(
-        o[:r0], d[:r0], tri[:, 0:3], tri[:, 3:6], tri[:, 6:9],
-        0.0, _INF,
-    )
+    p0, e1, e2 = tri[:, 0:3], tri[:, 3:6], tri[:, 6:9]
+    hvec = jnp.cross(dd, e2)
+    det = jnp.sum(e1 * hvec, axis=-1)
+    svec = oo - p0
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+    u = jnp.sum(svec * hvec, axis=-1) * inv_det
+    qvec = jnp.cross(svec, e1)
+    v = jnp.sum(dd * qvec, axis=-1) * inv_det
     return Hit(
         t=best_t,
-        u=jnp.where(hit_mask, th.u, 0.0),
-        v=jnp.where(hit_mask, th.v, 0.0),
+        u=jnp.where(hit_mask, u, 0.0),
+        v=jnp.where(hit_mask, v, 0.0),
         face=face,
     )

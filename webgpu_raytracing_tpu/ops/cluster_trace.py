@@ -204,8 +204,9 @@ def trace_closest_clustered(
             inv_d.reshape(n_tiles, tile, 3),
             t_max.reshape(n_tiles, tile),
         ),
-        # big vector batches — O(1) sequential map steps (~512MB temps)
-        batch_size=max(1, min(n_tiles, 134_217_728 // (tile * c))),
+        # big vector batches — O(1) sequential map steps; _boxes_near's
+        # (B, tile, C, 3) temporaries cost ~24·(B·tile·C) bytes
+        batch_size=max(1, min(n_tiles, 16_777_216 // (tile * c))),
     )  # (n_tiles, C)
 
     def cond(state):

@@ -36,6 +36,7 @@ def nearest_cluster_key(
     (sorts dead/miss rays to the back)."""
     r = o.shape[0]
     c = boxes.shape[0]
+    chunk = min(chunk, max(128, -(-r // 128) * 128))
     inv_d = safe_inv_dir(d)
 
     def per_chunk(args):
