@@ -46,21 +46,37 @@ def test_stress_scene_builds_and_traces():
 
 
 @pytest.mark.slow
-def test_pallas_fallback_for_large_scenes():
-    """Cluster tables above the VMEM budget must route 'auto'/'pallas' to
-    the XLA clustered backend instead of failing in the kernel."""
-    from webgpu_raytracing_tpu.ops.integrator import _resolve_backend
-
-    scene = stress_scene(200_000)
-    tables = scene.tables()
-    st = RenderSettings(traversal="pallas")
-    assert _resolve_backend(st, tables) == "clustered"
-
-    from webgpu_raytracing_tpu.models.test_models import uv_sphere
-    from webgpu_raytracing_tpu.models.scene import scene_from_facesets
-
-    small = scene_from_facesets(
-        [("s", uv_sphere((0, 0, -4), 1.0, lat=6, lon=8))],
-        np.ones((1, 3), np.float32), np.zeros((1, 3), np.float32),
+def test_pallas_hbm_path_for_large_scenes(rng_np):
+    """Cluster tables above the VMEM budget use the HBM-streaming kernel
+    (per-round DMA) and must agree with the threaded oracle."""
+    from webgpu_raytracing_tpu.ops.cluster_pallas import (
+        trace_closest_clustered_pallas,
     )
-    assert _resolve_backend(st, small.tables()) == "pallas"
+
+    scene = stress_scene(60_000)
+    tables = scene.tables()
+    nbytes = (
+        tables.clusters.mat_b.shape[0]
+        * 16 * tables.clusters.mat_b.shape[2] * 4
+    )
+    assert nbytes > 12 * 1024 * 1024  # actually exercises the HBM path
+
+    n = 256
+    o = rng_np.uniform(-10, 10, (n, 3)).astype(np.float32)
+    o[:, 1] = rng_np.uniform(3, 8, n)
+    d = rng_np.normal(size=(n, 3)).astype(np.float32)
+    d[:, 1] = -np.abs(d[:, 1])
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmax = jnp.full((n,), F32_MAX, jnp.float32)
+    ref = trace_closest(jnp.asarray(o), jnp.asarray(d), tmax, tables)
+    pk = trace_closest_clustered_pallas(
+        jnp.asarray(o), jnp.asarray(d), tmax, tables, tile=128,
+        interpret=True,
+    )
+    hits = np.asarray(ref.face) >= 0
+    assert hits.sum() > 50
+    np.testing.assert_array_equal(np.asarray(pk.face) >= 0, hits)
+    np.testing.assert_allclose(
+        np.asarray(pk.t)[hits], np.asarray(ref.t)[hits], rtol=5e-4,
+        atol=1e-4,
+    )

@@ -47,12 +47,13 @@ _NEAR_CHUNK = 128  # rays per in-kernel box-test chunk (bounds VMEM temps)
 def _kernel(
     a_ref,  # (1, T, 16) ray block: [o, w, d, 1, inv_d, t_max, pad, pad]
     near_ref,  # (1, 1, C) per-cluster tile entry distances (XLA-computed)
-    matb_ref,  # (C, 16, 4S) cluster matrices (VMEM resident)
+    matb_ref,  # (C, 16, 4S) cluster matrices (VMEM, or HBM when hbm=True)
     out_t_ref,  # (1, 1, T)
     out_code_ref,  # (1, 1, T) int32: winning cid * S + slot (-1 = miss)
-    *,
+    *scratch,  # hbm=True: (b_scratch VMEM (16, 4S), dma_sem)
     n_s: int,
     any_hit: bool = False,
+    hbm: bool = False,
 ):
     a = a_ref[0]  # (T, 16)
     t_dim = a.shape[0]
@@ -86,7 +87,19 @@ def _kernel(
         cmin = jnp.min(near)
         cid = jnp.min(jnp.where(near == cmin, iota_c, c_dim))
 
-        b = matb_ref[cid]  # (16, 4S)
+        if hbm:
+            # large scenes: the table stays in HBM; stream the one block
+            # this round needs (32 KB DMA, ~µs — beats the XLA fallback's
+            # per-round gathers by orders of magnitude)
+            b_scratch, dma_sem = scratch
+            dma = pltpu.make_async_copy(
+                matb_ref.at[cid], b_scratch, dma_sem
+            )
+            dma.start()
+            dma.wait()
+            b = b_scratch[:]
+        else:
+            b = matb_ref[cid]  # (16, 4S)
         b_hi = b.astype(jnp.bfloat16)
         b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         out = (
@@ -178,6 +191,8 @@ def trace_closest_clustered_pallas(
     matb = ct.mat_b
     if matb.shape[1] != 16:
         matb = jnp.pad(matb, ((0, 0), (0, 16 - matb.shape[1]), (0, 0)))
+    # tables above the VMEM budget stay in HBM with per-round DMA
+    hbm = (c * 16 * 4 * s * 4) > 12 * 1024 * 1024
 
     w = jnp.cross(o, d)
     ones = jnp.ones((r, 1), jnp.float32)
@@ -208,7 +223,7 @@ def trace_closest_clustered_pallas(
     )
 
     grid = (n_tiles,)
-    kernel = functools.partial(_kernel, n_s=s, any_hit=any_hit)
+    kernel = functools.partial(_kernel, n_s=s, any_hit=any_hit, hbm=hbm)
     out_shape = (
         jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.float32),
         jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.int32),
@@ -216,6 +231,17 @@ def trace_closest_clustered_pallas(
     row_spec = pl.BlockSpec(
         (1, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
+    if hbm:
+        matb_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch_shapes = [
+            pltpu.VMEM((16, 4 * s), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        matb_spec = pl.BlockSpec(
+            (c, 16, 4 * s), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        scratch_shapes = []
     best_t, best_code = pl.pallas_call(
         kernel,
         grid=grid,
@@ -226,12 +252,11 @@ def trace_closest_clustered_pallas(
             pl.BlockSpec(
                 (1, 1, cp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(
-                (c, 16, 4 * s), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
-            ),
+            matb_spec,
         ],
         out_specs=(row_spec, row_spec),
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(a_mat, near_tc.reshape(n_tiles, 1, cp), matb)
 

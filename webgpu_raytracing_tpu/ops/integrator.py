@@ -47,13 +47,9 @@ def _resolve_backend(settings, tables) -> str:
         backend = (
             "pallas" if jax.default_backend() == "tpu" else "clustered"
         )
-    if backend == "pallas":
-        # the kernel pads the contraction dim 10 → 16 before loading the
-        # table into VMEM; budget the padded size
-        c_, _rows, cols = jnp.shape(tables.clusters.mat_b)
-        matb_bytes = 4 * c_ * 16 * cols
-        if matb_bytes > _PALLAS_VMEM_BUDGET:
-            backend = "clustered"
+    # NOTE: tables above the VMEM budget no longer force the XLA fallback —
+    # the Pallas kernel streams cluster blocks from HBM per round
+    # (cluster_pallas.py hbm=True path).
     return backend
 
 
