@@ -73,8 +73,7 @@ def _kernel(
     t_max = a[:, 13]  # (T,)
 
     # ---- near-ordered cluster rounds ----
-    def cond(state):
-        near, best_t, best_code = state
+    def _continue(near, best_t, best_code):
         if any_hit:
             # shadow-ray semantics: a ray is done at its FIRST valid hit;
             # remaining rays still bound the search by their t_max
@@ -82,23 +81,48 @@ def _kernel(
             return jnp.min(near) < jnp.max(pending)
         return jnp.min(near) < jnp.max(best_t)
 
-    def body(state):
-        near, best_t, best_code = state
+    def _pick(near):
         cmin = jnp.min(near)
-        cid = jnp.min(jnp.where(near == cmin, iota_c, c_dim))
+        cid = jnp.minimum(
+            jnp.min(jnp.where(near == cmin, iota_c, c_dim)), c_dim - 1
+        )
+        return cid
 
-        if hbm:
-            # large scenes: the table stays in HBM; stream the one block
-            # this round needs (32 KB DMA, ~µs — beats the XLA fallback's
-            # per-round gathers by orders of magnitude)
-            b_scratch, dma_sem = scratch
-            dma = pltpu.make_async_copy(
-                matb_ref.at[cid], b_scratch, dma_sem
+    if hbm:
+        b_scratch, dma_sem = scratch  # (2, 16, 4S) VMEM, DMA sems (2,)
+
+        def _dma(slot, cid):
+            return pltpu.make_async_copy(
+                matb_ref.at[cid], b_scratch.at[slot], dma_sem.at[slot]
             )
-            dma.start()
-            dma.wait()
-            b = b_scratch[:]
+
+    def cond(state):
+        if hbm:
+            return state[5]  # cur_valid: a fetched block awaits processing
+        near, best_t, best_code = state
+        return _continue(near, best_t, best_code)
+
+    def body(state):
+        if hbm:
+            near, best_t, best_code, slot, cid, _valid = state
+            # the block for `cid` was prefetched into `slot` last round
+            _dma(slot, cid).wait()
+            # prefetch the NEXT round's block into the other slot while
+            # this round's matmul runs (double buffering). Validity is
+            # judged with the pre-compute best — conservatively may fetch
+            # one extra (idempotent) block.
+            near = jnp.where(iota_c == cid, _INF, near)
+            nxt_cid = _pick(near)
+            nxt_valid = _continue(near, best_t, best_code)
+
+            @pl.when(nxt_valid)
+            def _():
+                _dma(1 - slot, nxt_cid).start()
+
+            b = b_scratch[slot]
         else:
+            near, best_t, best_code = state
+            cid = _pick(near)
             b = matb_ref[cid]  # (16, 4S)
         b_hi = b.astype(jnp.bfloat16)
         b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -127,26 +151,50 @@ def _kernel(
         cand_t = jnp.min(t_masked, axis=1)  # (T,)
         # first index achieving the min (min+iota instead of argmin — the
         # reliably-lowered reduction pattern)
-        slot = jnp.min(
+        win_slot = jnp.min(
             jnp.where(t_masked == cand_t[:, None], iota_s, n_s), axis=1
         )
 
         improved = cand_t < best_t[0]
         best_t = jnp.where(improved, cand_t, best_t[0])[None, :]
-        # defer u/v/face: rounds only carry the winner's (cid, slot); the
-        # wrapper re-derives u/v once per ray from the winning triangle
+        # defer u/v/face: rounds only carry the winner's (cid, win_slot);
+        # the wrapper re-derives u/v once per ray
         best_code = jnp.where(
-            improved, cid * n_s + slot, best_code[0]
+            improved, cid * n_s + win_slot, best_code[0]
         )[None, :]
+        if hbm:
+            return near, best_t, best_code, 1 - slot, nxt_cid, nxt_valid
         near = jnp.where(iota_c == cid, _INF, near)
         return near, best_t, best_code
 
-    init = (
-        near0,
-        t_max[None, :],
-        jnp.full((1, t_dim), -1, jnp.int32),
-    )
-    _, best_t, best_code = jax.lax.while_loop(cond, body, init)
+    if hbm:
+        # warm-up: prefetch the first block (when any work exists)
+        cid0 = _pick(near0)
+        valid0 = _continue(
+            near0, t_max[None, :], jnp.full((1, t_dim), -1, jnp.int32)
+        )
+
+        @pl.when(valid0)
+        def _():
+            _dma(0, cid0).start()
+
+        init = (
+            near0,
+            t_max[None, :],
+            jnp.full((1, t_dim), -1, jnp.int32),
+            0,
+            cid0,
+            valid0,
+        )
+        out = jax.lax.while_loop(cond, body, init)
+        best_t, best_code = out[1], out[2]
+    else:
+        init = (
+            near0,
+            t_max[None, :],
+            jnp.full((1, t_dim), -1, jnp.int32),
+        )
+        _, best_t, best_code = jax.lax.while_loop(cond, body, init)
     out_t_ref[0] = best_t
     out_code_ref[0] = best_code
 
@@ -234,8 +282,8 @@ def trace_closest_clustered_pallas(
     if hbm:
         matb_spec = pl.BlockSpec(memory_space=pltpu.ANY)
         scratch_shapes = [
-            pltpu.VMEM((16, 4 * s), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 16, 4 * s), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
         matb_spec = pl.BlockSpec(
