@@ -80,3 +80,32 @@ def test_pallas_hbm_path_for_large_scenes(rng_np):
         np.asarray(pk.t)[hits], np.asarray(ref.t)[hits], rtol=5e-4,
         atol=1e-4,
     )
+
+
+@pytest.mark.slow
+def test_pallas_hbm_any_hit(rng_np):
+    """hbm + any_hit combination: double-buffered prefetch with the
+    shadow-ray termination rule must agree with the threaded oracle."""
+    from webgpu_raytracing_tpu.ops.cluster_pallas import (
+        trace_closest_clustered_pallas,
+    )
+    from webgpu_raytracing_tpu.ops.traverse import trace_any
+
+    scene = stress_scene(60_000)
+    tables = scene.tables()
+    n = 256
+    o = rng_np.uniform(-10, 10, (n, 3)).astype(np.float32)
+    o[:, 1] = rng_np.uniform(3, 8, n)
+    d = rng_np.normal(size=(n, 3)).astype(np.float32)
+    d[:, 1] = -np.abs(d[:, 1])
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    for tmax_val in (F32_MAX, 6.0):
+        tmax = jnp.full((n,), tmax_val, jnp.float32)
+        ref = trace_any(jnp.asarray(o), jnp.asarray(d), tmax, tables)
+        pk = trace_closest_clustered_pallas(
+            jnp.asarray(o), jnp.asarray(d), tmax, tables, tile=128,
+            interpret=True, any_hit=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(pk.face) >= 0, np.asarray(ref)
+        )
