@@ -272,7 +272,7 @@ def trace_closest_clustered_pallas(
         (1, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     if hbm:
-        matb_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        matb_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch_shapes = [
             pltpu.VMEM((2, 16, 4 * s), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
