@@ -73,6 +73,19 @@ def test_image_finite_and_oriented():
         assert light_rows.mean() < 8
 
 
+def test_odd_dimensions():
+    """Odd width/height must render: the 2×2 quad predictor pads ragged
+    edges with no-candidate lanes (the GPU analog: inactive quad lanes)."""
+    st = SMALL.replace(width=15, height=17, use_hit_predictor=True)
+    r = Renderer(_mini_scene(), st, base_seed=3)
+    r.step()
+    r.step()
+    img = np.asarray(r.buffers.image)
+    assert img.shape == (17, 15, 4)
+    assert np.isfinite(img).all()
+    assert (img[..., 3] == 2.0).all()
+
+
 def test_predictor_invariance():
     """The quad hit-distance predictor is a pure traversal bound: frame
     images with and without it must be identical (render.ts:1121-1141 is

@@ -34,12 +34,8 @@ from .envmap import sample_environment
 from .traverse import Hit, trace_any, trace_closest
 
 
-_PALLAS_VMEM_BUDGET = 12 * 1024 * 1024  # cluster tables must fit VMEM
-
-
 def _resolve_backend(settings, tables) -> str:
-    """'auto' → Pallas kernel on TPU (when the cluster tables fit VMEM),
-    XLA clustered elsewhere / for huge scenes."""
+    """'auto' → Pallas kernel on TPU, XLA clustered elsewhere."""
     backend = settings.traversal
     if backend == "auto":
         import jax

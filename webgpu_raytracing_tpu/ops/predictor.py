@@ -21,12 +21,17 @@ from .intersect import ray_triangle
 def quad_faces(prev_geo_face: jnp.ndarray) -> jnp.ndarray:
     """(H, W) int32 face ids → (H, W, 4): the 2×2-block faces of each
     pixel (the reference's quadBroadcast of all four lanes,
-    render.ts:1440-1446). H and W must be even."""
+    render.ts:1440-1446). Odd dimensions are padded with -1 (no candidate)
+    — matching the GPU, where out-of-image quad lanes are inactive."""
     h, w = prev_geo_face.shape
-    blocks = prev_geo_face.reshape(h // 2, 2, w // 2, 2)
-    quad = blocks.transpose(0, 2, 1, 3).reshape(h // 2, w // 2, 4)
+    hp, wp = h + (h % 2), w + (w % 2)
+    padded = jnp.pad(
+        prev_geo_face, ((0, hp - h), (0, wp - w)), constant_values=-1
+    )
+    blocks = padded.reshape(hp // 2, 2, wp // 2, 2)
+    quad = blocks.transpose(0, 2, 1, 3).reshape(hp // 2, wp // 2, 4)
     quad = jnp.repeat(jnp.repeat(quad, 2, axis=0), 2, axis=1)
-    return quad
+    return quad[:h, :w]
 
 
 def predict_hit_dist(
