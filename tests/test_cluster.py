@@ -209,6 +209,27 @@ def test_sorted_trace_matches_plain(rng_np):
     )
 
 
+def test_clustered_any_hit_matches_threaded(rng_np):
+    """The XLA clustered any-hit early-exit (rounds stop once every live
+    ray has some hit) must agree with the threaded any-hit oracle."""
+    from webgpu_raytracing_tpu.ops.cluster_trace import trace_any_clustered
+    from webgpu_raytracing_tpu.ops.traverse import trace_any
+
+    scene = _scene()
+    tables = scene.tables()
+    n = 384
+    o = rng_np.uniform(-3, 3, (n, 3)).astype(np.float32)
+    d = rng_np.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    for tmax_val in (F32_MAX, 2.5):
+        tmax = jnp.full((n,), tmax_val, jnp.float32)
+        ref = trace_any(jnp.asarray(o), jnp.asarray(d), tmax, tables)
+        got = trace_any_clustered(
+            jnp.asarray(o), jnp.asarray(d), tmax, tables, tile=128
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_pallas_any_hit_interpret_matches_threaded(rng_np):
     """The any-hit early-exit kernel path (shadow rays) must agree with
     the threaded any-hit oracle, bounded and unbounded."""

@@ -135,7 +135,13 @@ class RenderSettings:
     # (ops/traverse.py, gather-bound oracle).
     traversal: str = "auto"
     # Ray-tile size for clustered tracing (coherent pixel groups).
-    trace_tile: int = 128
+    trace_tile: int = 256
+    # Sort bounce/shadow rays by nearest hit cluster before tracing
+    # (ops/ray_sort.py): collapses tile cluster-unions ~4x on incoherent
+    # segments and compacts dead lanes to the back (the wavefront-
+    # compaction analog, BASELINE config #5). Camera rays are never
+    # sorted (already coherent).
+    sort_bounce_rays: bool = True
     # Next-event estimation. The reference ships the NEE chain
     # (``pointColor``/``sampleLights`` render.ts:1143-1157, 849-869) but
     # never calls it from the megakernel main; default off for parity.

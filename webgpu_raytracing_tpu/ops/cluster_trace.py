@@ -169,9 +169,13 @@ def trace_closest_clustered(
     tables,  # SceneTables (needs .clusters: ClusterTables)
     active: jnp.ndarray | None = None,
     tile: int = 1024,
+    any_hit: bool = False,
 ) -> Hit:
     """Closest-hit over coherent ray tiles (drop-in for
-    ops.traverse.trace_closest). R must be a multiple of ``tile``."""
+    ops.traverse.trace_closest). With ``any_hit`` the rounds stop as soon
+    as every ray in a tile has found *some* valid hit — shadow-ray
+    semantics (rayIntersectBVHAnyHit, render.ts:468-480); the returned t
+    is then any valid hit, not necessarily the closest."""
     ct: ClusterTables = tables.clusters
     r0 = o.shape[0]
     if active is None:
@@ -209,19 +213,27 @@ def trace_closest_clustered(
         batch_size=max(1, min(n_tiles, 16_777_216 // (tile * c))),
     )  # (n_tiles, C)
 
+    def _tile_bound(best_t, best_slot):
+        """Per-tile upper bound on useful cluster entry distances. Closest
+        hit: a closer hit may still exist below any ray's best t. Any hit:
+        a ray is DONE at its first valid hit — only not-yet-hit rays keep
+        their search interval open."""
+        if any_hit:
+            pending = jnp.where(best_slot >= 0, 0.0, t_max)
+            return jnp.max(pending.reshape(n_tiles, tile), axis=1)
+        return jnp.max(best_t.reshape(n_tiles, tile), axis=1)
+
     def cond(state):
-        near_tc, best_t, *_ = state
+        near_tc, best_t, _u, _v, best_slot, _c = state
         # a tile still works while its nearest unprocessed cluster could
-        # beat some ray's current best
-        max_best = jnp.max(best_t.reshape(n_tiles, tile), axis=1)
-        return jnp.any(jnp.min(near_tc, axis=1) < max_best)
+        # beat some ray's current best (closest) / first hit (any)
+        return jnp.any(jnp.min(near_tc, axis=1) < _tile_bound(best_t, best_slot))
 
     def body(state):
         near_tc, best_t, best_u, best_v, best_slot, best_cid = state
         cid = jnp.argmin(near_tc, axis=1)  # (n_tiles,)
         cnear = jnp.take_along_axis(near_tc, cid[:, None], axis=1)[:, 0]
-        max_best = jnp.max(best_t.reshape(n_tiles, tile), axis=1)
-        tile_act = cnear < max_best  # (n_tiles,)
+        tile_act = cnear < _tile_bound(best_t, best_slot)  # (n_tiles,)
 
         b = jnp.take(ct.mat_b, cid, axis=0)  # (n_tiles, 10, 4S)
         t_new, u_new, v_new, slot = jax.vmap(intersect_cluster_block)(
@@ -279,7 +291,10 @@ def trace_any_clustered(
     active: jnp.ndarray | None = None,
     tile: int = 1024,
 ) -> jnp.ndarray:
-    """Any-hit query (shadow rays). Same machinery; a ray is done as soon
-    as anything valid lands inside its interval."""
-    hit = trace_closest_clustered(o, d, t_max, tables, active, tile)
+    """Any-hit query (shadow rays, rayIntersectBVHAnyHit
+    render.ts:468-480). Same machinery with early-exit rounds: a tile
+    stops as soon as every live ray has *some* valid hit."""
+    hit = trace_closest_clustered(
+        o, d, t_max, tables, active, tile, any_hit=True
+    )
     return hit.face >= 0

@@ -22,6 +22,7 @@ code — the megakernel never calls it — so it is exposed as the optional
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -49,41 +50,59 @@ def _resolve_backend(settings, tables) -> str:
     return backend
 
 
-def _trace_closest(o, d, t_max, tables, settings, active=None):
-    """Traversal backend dispatch (static on settings.traversal)."""
+def _trace_closest(o, d, t_max, tables, settings, active=None, sort=False):
+    """Traversal backend dispatch (static on settings.traversal).
+
+    ``sort`` (static) routes the batch through the nearest-cluster ray
+    sort (ops/ray_sort.py) — on for incoherent bounce/shadow segments,
+    off for camera rays, which are already tile-coherent."""
     backend = _resolve_backend(settings, tables)
     if backend == "pallas":
         from .cluster_pallas import trace_closest_clustered_pallas
 
-        return trace_closest_clustered_pallas(
-            o, d, t_max, tables, active, tile=settings.trace_tile
+        fn = functools.partial(
+            trace_closest_clustered_pallas, tile=settings.trace_tile
         )
-    if backend == "clustered":
+    elif backend == "clustered":
         from .cluster_trace import trace_closest_clustered
 
-        return trace_closest_clustered(
-            o, d, t_max, tables, active, tile=settings.trace_tile
+        fn = functools.partial(
+            trace_closest_clustered, tile=settings.trace_tile
         )
-    return trace_closest(o, d, t_max, tables, active)
+    else:
+        return trace_closest(o, d, t_max, tables, active)
+    if sort and settings.sort_bounce_rays:
+        from .ray_sort import sorted_trace
+
+        return sorted_trace(fn, o, d, t_max, tables, active)
+    return fn(o, d, t_max, tables, active)
 
 
-def _trace_any(o, d, t_max, tables, settings, active=None):
+def _trace_any(o, d, t_max, tables, settings, active=None, sort=False):
     backend = _resolve_backend(settings, tables)
     if backend == "pallas":
         from .cluster_pallas import trace_closest_clustered_pallas
 
-        hit = trace_closest_clustered_pallas(
-            o, d, t_max, tables, active, tile=settings.trace_tile,
-            any_hit=True,
-        )
-        return hit.face >= 0
-    if backend == "clustered":
+        def fn(o, d, t_max, tables, active):
+            hit = trace_closest_clustered_pallas(
+                o, d, t_max, tables, active, tile=settings.trace_tile,
+                any_hit=True,
+            )
+            return hit.face >= 0
+
+    elif backend == "clustered":
         from .cluster_trace import trace_any_clustered
 
-        return trace_any_clustered(
-            o, d, t_max, tables, active, tile=settings.trace_tile
+        fn = functools.partial(
+            trace_any_clustered, tile=settings.trace_tile
         )
-    return trace_any(o, d, t_max, tables, active)
+    else:
+        return trace_any(o, d, t_max, tables, active)
+    if sort and settings.sort_bounce_rays:
+        from .ray_sort import sorted_trace
+
+        return sorted_trace(fn, o, d, t_max, tables, active)
+    return fn(o, d, t_max, tables, active)
 
 _ORIGIN = 1.0 / 32.0
 _FLOAT_SCALE = 1.0 / 65536.0
@@ -183,6 +202,7 @@ def direct_light(
     tables: SceneTables,
     settings: RenderSettings,
     active: jnp.ndarray | None = None,
+    sort: bool = False,
 ):
     """pointColor (render.ts:1143-1157): one-or-more light samples with
     shadow rays; emission × cosine / r² × (1/pdf)."""
@@ -196,7 +216,7 @@ def direct_light(
         dirn = ds * inv_d[..., None]
         shadowed = _trace_any(
             point, dirn, jnp.sqrt(jnp.maximum(d_sq, 0.0)), tables,
-            settings, active,
+            settings, active, sort=sort,
         )
         vis = jnp.where(shadowed, 0.0, 1.0)
         cosine = jnp.maximum(jnp.sum(dirn * normal, axis=-1), 0.0)
@@ -252,7 +272,9 @@ def path_trace(
     for seg in range(n_segments):
         rays = rays + jnp.sum(alive.astype(jnp.float32))
         t_max = t_max0 if seg == 0 else jnp.full((r,), F32_MAX, jnp.float32)
-        hit = _trace_closest(o, d, t_max, tables, settings, active=alive)
+        hit = _trace_closest(
+            o, d, t_max, tables, settings, active=alive, sort=seg > 0
+        )
         if seg == 0:
             first_hit = hit
 
@@ -281,7 +303,7 @@ def path_trace(
 
         if settings.next_event_estimation:
             nee, state = direct_light(
-                new_o, n, state, tables, settings, active=h
+                new_o, n, state, tables, settings, active=h, sort=seg > 0
             )
             color = jnp.where(
                 h[..., None], color + nee * throughput, color
@@ -300,7 +322,7 @@ def path_trace(
             facing = jnp.sum(ed * nn, axis=-1) > 0.0
             blocked = _trace_any(
                 new_o, ed, jnp.full((r,), F32_MAX, jnp.float32), tables,
-                settings, active=h & facing,
+                settings, active=h & facing, sort=seg > 0,
             )
             vis = h & facing & ~blocked
             pb = bsdf_pdf(ed, n)

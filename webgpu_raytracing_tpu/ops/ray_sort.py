@@ -1,16 +1,26 @@
-"""Ray reordering for traversal coherence.
+"""Ray reordering for traversal coherence — the bounce-segment fast path.
 
 Bounce rays are incoherent in pixel order: a 128-ray tile's rays
-collectively hit ~60-100 clusters while each ray only needs ~2 (measured,
-ROADMAP.md). Sorting rays by their *nearest hit cluster* groups rays that
-start their traversal in the same treelet — and because treelets are
-spatially local, their 2nd/3rd clusters correlate too, collapsing tile
-unions toward per-ray needs.
+collectively hit ~40-100 clusters while each ray only needs ~2.6 (measured
+at 1080p on the bundled scene). Sorting rays by their *two nearest hit
+clusters* groups rays that start traversal in the same treelets, collapsing
+tile unions from ~41 to ~11 and the bounce trace from 824 ms to 350 ms.
 
-The key is computed with the same dense box-test pass the tracer already
-uses (argmin instead of per-tile min); the permutation is one
-``jnp.argsort`` over R int32 keys plus row gathers, and results are
-scattered back to ray order — all standard XLA ops.
+Round-1 note ("global ray reordering loses") was measured with
+``jnp.argsort`` + materialized row permutes through a full-array host
+readback — both artifacts of the measurement, not the hardware. Measured
+properly (scalar readback, ``lax.sort`` with the ray id as payload, row
+gathers, scatter unsort) the full sort+gather+unsort overhead is ~100 ms
+at 2M rays against a 2.4x kernel win:
+
+* ``lax.sort`` 2M i32 keys + i32 payload ≈ 20 ms
+* ``jnp.take`` of (2M, 3) f32 rows ≈ 15 ms each
+* scatter unsort of the hit record ≈ 60 ms
+
+This is the renderer's wavefront-compaction analog as well (BASELINE
+config #5): dead lanes (Russian-roulette kills, misses) sort to the back,
+so whole trailing tiles carry ``t_max = 0`` and exit their round loops
+immediately.
 """
 
 from __future__ import annotations
@@ -20,7 +30,6 @@ import jax.numpy as jnp
 
 from ..config import F32_MAX, MIN_DIST
 from .intersect import safe_inv_dir
-from .traverse import Hit
 
 _INF = float(F32_MAX)
 
@@ -28,12 +37,14 @@ _INF = float(F32_MAX)
 def nearest_cluster_key(
     o: jnp.ndarray,  # (R, 3)
     d: jnp.ndarray,  # (R, 3)
-    t_max: jnp.ndarray,  # (R,)
+    t_max: jnp.ndarray,  # (R,) 0 for dead lanes
     boxes: jnp.ndarray,  # (C, 6)
     chunk: int = 65536,
 ) -> jnp.ndarray:
-    """Per-ray id of the nearest-entry hit cluster; C when nothing is hit
-    (sorts dead/miss rays to the back)."""
+    """Coherence key: ``cid0 * (C+1) + cid1`` of the ray's two nearest-entry
+    hit clusters (cid = C when fewer than 1/2 boxes are hit, sorting dead
+    and miss rays to the back). Computed with the same dense slab test the
+    tracer's shortlist pass uses."""
     r = o.shape[0]
     c = boxes.shape[0]
     chunk = min(chunk, max(128, -(-r // 128) * 128))
@@ -54,9 +65,15 @@ def nearest_cluster_key(
             far = jnp.minimum(far, jnp.maximum(t0, t1))
         hit = (near < far) & (near < tc[:, None]) & (far > MIN_DIST)
         nears = jnp.where(hit, jnp.maximum(near, 0.0), _INF)
-        best = jnp.min(nears, axis=1)
-        key = jnp.argmin(nears, axis=1).astype(jnp.int32)
-        return jnp.where(best < _INF, key, c)
+        iota = jax.lax.broadcasted_iota(jnp.int32, nears.shape, 1)
+        key = jnp.zeros((oc.shape[0],), jnp.int32)
+        for _ in range(2):  # two nearest clusters, lexicographic
+            m = jnp.min(nears, axis=1, keepdims=True)
+            cid = jnp.min(jnp.where(nears == m, iota, c), axis=1)
+            cid = jnp.where(m[:, 0] < _INF, cid, c)
+            key = key * (c + 1) + cid
+            nears = jnp.where(iota == cid[:, None], _INF, nears)
+        return key
 
     pad = (-r) % chunk
     if pad:
@@ -77,27 +94,26 @@ def nearest_cluster_key(
 
 def sorted_trace(trace_fn, o, d, t_max, tables, active=None):
     """Run ``trace_fn(o, d, t_max, tables, active)`` with rays permuted by
-    nearest-cluster key; results are returned in original ray order."""
+    the nearest-cluster key; every (R,)-leading leaf of the result is
+    scattered back to original ray order. ``lax.sort`` is stable, so the
+    permutation (and the traced image) is deterministic."""
     r = o.shape[0]
     if active is None:
         active = jnp.ones((r,), bool)
-    key = nearest_cluster_key(
-        o, d, jnp.where(active, t_max, 0.0), tables.clusters.box
-    )
-    order = jnp.argsort(key)
-    hit_s: Hit = trace_fn(
-        jnp.take(o, order, axis=0),
-        jnp.take(d, order, axis=0),
-        jnp.take(t_max, order),
+    t_eff = jnp.where(active, t_max, 0.0)
+    key = nearest_cluster_key(o, d, t_eff, tables.clusters.box)
+    rid = jnp.arange(r, dtype=jnp.int32)
+    _, rid_s = jax.lax.sort((key, rid), num_keys=1)
+    res_s = trace_fn(
+        jnp.take(o, rid_s, axis=0),
+        jnp.take(d, rid_s, axis=0),
+        jnp.take(t_eff, rid_s),
         tables,
-        jnp.take(active, order),
+        jnp.take(active, rid_s),
     )
-    inv = jnp.zeros((r,), jnp.int32).at[order].set(
-        jnp.arange(r, dtype=jnp.int32)
-    )
-    return Hit(
-        t=jnp.take(hit_s.t, inv),
-        u=jnp.take(hit_s.u, inv),
-        v=jnp.take(hit_s.v, inv),
-        face=jnp.take(hit_s.face, inv),
-    )
+
+    def unsort(x):
+        x = jnp.asarray(x)
+        return jnp.zeros(x.shape, x.dtype).at[rid_s].set(x)
+
+    return jax.tree.map(unsort, res_s)
