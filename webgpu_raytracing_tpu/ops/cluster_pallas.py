@@ -52,6 +52,7 @@ def _kernel(
     out_code_ref,  # (1, 1, T) int32: winning cid * S + slot (-1 = miss)
     *scratch,  # hbm=True: (b_scratch VMEM (2, 16, 4S), dma_sems (2,))
     n_s: int,
+    cid_bits: int,
     any_hit: bool = False,
     hbm: bool = False,
 ):
@@ -72,21 +73,34 @@ def _kernel(
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (t_dim, n_s), 1)
     t_max = a[:, 13]  # (T,)
 
-    # ---- near-ordered cluster rounds ----
-    def _continue(near, best_t, best_code):
-        if any_hit:
-            # shadow-ray semantics: a ray is done at its FIRST valid hit;
-            # remaining rays still bound the search by their t_max
-            pending = jnp.where(best_code < 0, t_max[None, :], 0.0)
-            return jnp.min(near) < jnp.max(pending)
-        return jnp.min(near) < jnp.max(best_t)
+    # The per-round pick is the serial-latency hot spot: rounds are chained
+    # through it, and each cross-lane reduction costs ~0.1-0.2 µs. So
+    # (near, cid) is packed into ONE sortable int32 key — the bitcast of a
+    # non-negative f32 is order-preserving, and the low `cid_bits` mantissa
+    # bits are stolen for the cluster id (near keeps >= 9 mantissa bits of
+    # ordering precision; ordering is a heuristic, exactness never depends
+    # on it). One jnp.min per round replaces pick+mark+cond reductions,
+    # and the NEXT round's pick is carried through the loop state so the
+    # cond is a scalar compare.
+    mask = (1 << cid_bits) - 1
+    keys0 = (
+        jax.lax.bitcast_convert_type(near0, jnp.int32) & ~mask
+    ) | iota_c  # (1, C)
+    # any real near is < F32_MAX, so its masked high bits stay below this
+    # (host-computed: Mosaic has no scalar bitcast)
+    import numpy as _np
 
-    def _pick(near):
-        cmin = jnp.min(near)
-        cid = jnp.minimum(
-            jnp.min(jnp.where(near == cmin, iota_c, c_dim)), c_dim - 1
-        )
-        return cid
+    done_th = int(_np.float32(_INF).view(_np.int32)) & ~mask
+    k0 = jnp.min(keys0)
+
+    if any_hit:
+        # shadow-ray semantics: a ray is done at its FIRST valid hit;
+        # the tile stops once nothing is pending
+        def _live(best_code):
+            return jnp.max(jnp.where(best_code < 0, t_max[None, :], 0.0)) > 0.0
+    else:
+        def _live(best_code):
+            return True
 
     if hbm:
         b_scratch, dma_sem = scratch  # (2, 16, 4S) VMEM, DMA sems (2,)
@@ -99,30 +113,29 @@ def _kernel(
     def cond(state):
         if hbm:
             return state[5]  # cur_valid: a fetched block awaits processing
-        near, best_t, best_code = state
-        return _continue(near, best_t, best_code)
+        keys, k_cur, best_t, best_code = state
+        return (k_cur < done_th) & _live(best_code)
 
     def body(state):
         if hbm:
-            near, best_t, best_code, slot, cid, _valid = state
-            # the block for `cid` was prefetched into `slot` last round
+            keys, k_cur, best_t, best_code, slot, _valid = state
+            cid = k_cur & mask
+            # the block for `cid` was prefetched into `slot` last round;
+            # pick + prefetch the NEXT block while this round's matmul
+            # runs (double buffering)
             _dma(slot, cid).wait()
-            # prefetch the NEXT round's block into the other slot while
-            # this round's matmul runs (double buffering). Validity is
-            # judged with the pre-compute best — conservatively may fetch
-            # one extra (idempotent) block.
-            near = jnp.where(iota_c == cid, _INF, near)
-            nxt_cid = _pick(near)
-            nxt_valid = _continue(near, best_t, best_code)
+            keys = jnp.where(keys == k_cur, jnp.int32(0x7FFFFFFF), keys)
+            k_nxt = jnp.min(keys)
+            nxt_valid = (k_nxt < done_th) & _live(best_code)
 
             @pl.when(nxt_valid)
             def _():
-                _dma(1 - slot, nxt_cid).start()
+                _dma(1 - slot, k_nxt & mask).start()
 
             b = b_scratch[slot]
         else:
-            near, best_t, best_code = state
-            cid = _pick(near)
+            keys, k_cur, best_t, best_code = state
+            cid = k_cur & mask
             b = matb_ref[cid]  # (16, 4S)
         b_hi = b.astype(jnp.bfloat16)
         b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -163,36 +176,34 @@ def _kernel(
             improved, cid * n_s + win_slot, best_code[0]
         )[None, :]
         if hbm:
-            return near, best_t, best_code, 1 - slot, nxt_cid, nxt_valid
-        near = jnp.where(iota_c == cid, _INF, near)
-        return near, best_t, best_code
+            return keys, k_nxt, best_t, best_code, 1 - slot, nxt_valid
+        keys = jnp.where(keys == k_cur, jnp.int32(0x7FFFFFFF), keys)
+        return keys, jnp.min(keys), best_t, best_code
 
     base_init = (
-        near0,
+        keys0,
+        k0,
         t_max[None, :],
         jnp.full((1, t_dim), -1, jnp.int32),
     )
     if hbm:
         # warm-up: prefetch the first block (when any work exists)
-        cid0 = _pick(near0)
-        valid0 = _continue(*base_init)
+        valid0 = k0 < done_th
 
         @pl.when(valid0)
         def _():
-            _dma(0, cid0).start()
+            _dma(0, k0 & mask).start()
 
-        out = jax.lax.while_loop(
-            cond, body, base_init + (0, cid0, valid0)
-        )
-        best_t, best_code = out[1], out[2]
+        out = jax.lax.while_loop(cond, body, base_init + (0, valid0))
+        best_t, best_code = out[2], out[3]
     else:
-        _, best_t, best_code = jax.lax.while_loop(cond, body, base_init)
+        _, _, best_t, best_code = jax.lax.while_loop(cond, body, base_init)
     out_t_ref[0] = best_t
     out_code_ref[0] = best_code
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile", "interpret", "any_hit")
+    jax.jit, static_argnames=("tile", "interpret", "any_hit", "derive_uv")
 )
 def trace_closest_clustered_pallas(
     o: jnp.ndarray,
@@ -203,6 +214,7 @@ def trace_closest_clustered_pallas(
     tile: int = 512,
     interpret: bool = False,
     any_hit: bool = False,
+    derive_uv: bool = True,
 ) -> Hit:
     """Drop-in closest-hit using the Pallas tile kernel. With ``any_hit``
     the per-tile rounds stop as soon as every live ray has found *some*
@@ -263,7 +275,11 @@ def trace_closest_clustered_pallas(
     )
 
     grid = (n_tiles,)
-    kernel = functools.partial(_kernel, n_s=s, any_hit=any_hit, hbm=hbm)
+    # enough mantissa-LSB bits to carry any (padded) cluster id in the key
+    cid_bits = max(1, (cp - 1).bit_length())
+    kernel = functools.partial(
+        _kernel, n_s=s, cid_bits=cid_bits, any_hit=any_hit, hbm=hbm
+    )
     out_shape = (
         jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.float32),
         jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.int32),
@@ -309,28 +325,39 @@ def trace_closest_clustered_pallas(
         -1,
     ).astype(jnp.int32)
 
-    if any_hit:
-        # shadow-ray callers only consume the hit flag — skip the
-        # barycentric re-derivation entirely
+    if any_hit or not derive_uv:
+        # shadow-ray callers only consume the hit flag, and sorted-trace
+        # callers re-derive u/v in original ray order (fewer unsort
+        # scatters) — skip the barycentric re-derivation here
         zeros_uv = jnp.zeros_like(best_t)
         return Hit(t=best_t, u=zeros_uv, v=zeros_uv, face=face)
 
-    # re-derive barycentrics for the winning triangle — UNMASKED classic
-    # Möller–Trumbore algebra (not ray_triangle, whose validity gates
-    # could zero u/v when the exact test disagrees with the kernel's
-    # bf16x3 decision on a grazing ray; the kernel's verdict stands)
-    oo, dd = o[:r0], d[:r0]
+    return rederive_uv(o[:r0], d[:r0], best_t, face, tables)
+
+
+def rederive_uv(
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t: jnp.ndarray,
+    face: jnp.ndarray,
+    tables,
+) -> Hit:
+    """Barycentrics for the winning triangle — UNMASKED classic
+    Möller–Trumbore algebra (not ray_triangle, whose validity gates
+    could zero u/v when the exact test disagrees with the kernel's
+    bf16x3 decision on a grazing ray; the kernel's verdict stands)."""
+    hit_mask = face >= 0
     tri = jnp.take(tables.tri, jnp.maximum(face, 0), axis=0)
     p0, e1, e2 = tri[:, 0:3], tri[:, 3:6], tri[:, 6:9]
-    hvec = jnp.cross(dd, e2)
+    hvec = jnp.cross(d, e2)
     det = jnp.sum(e1 * hvec, axis=-1)
-    svec = oo - p0
+    svec = o - p0
     inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
     u = jnp.sum(svec * hvec, axis=-1) * inv_det
     qvec = jnp.cross(svec, e1)
-    v = jnp.sum(dd * qvec, axis=-1) * inv_det
+    v = jnp.sum(d * qvec, axis=-1) * inv_det
     return Hit(
-        t=best_t,
+        t=t,
         u=jnp.where(hit_mask, u, 0.0),
         v=jnp.where(hit_mask, v, 0.0),
         face=face,

@@ -57,24 +57,36 @@ def _trace_closest(o, d, t_max, tables, settings, active=None, sort=False):
     sort (ops/ray_sort.py) — on for incoherent bounce/shadow segments,
     off for camera rays, which are already tile-coherent."""
     backend = _resolve_backend(settings, tables)
+    use_sort = sort and settings.sort_bounce_rays
     if backend == "pallas":
-        from .cluster_pallas import trace_closest_clustered_pallas
+        from .cluster_pallas import (
+            rederive_uv,
+            trace_closest_clustered_pallas,
+        )
 
         fn = functools.partial(
-            trace_closest_clustered_pallas, tile=settings.trace_tile
+            trace_closest_clustered_pallas,
+            tile=settings.trace_tile,
+            # sorted path: re-derive u/v after unsorting (2 fewer unsort
+            # scatters; the algebra only needs original-order o/d/face)
+            derive_uv=not use_sort,
         )
     elif backend == "clustered":
         from .cluster_trace import trace_closest_clustered
 
+        rederive_uv = None
         fn = functools.partial(
             trace_closest_clustered, tile=settings.trace_tile
         )
     else:
         return trace_closest(o, d, t_max, tables, active)
-    if sort and settings.sort_bounce_rays:
+    if use_sort:
         from .ray_sort import sorted_trace
 
-        return sorted_trace(fn, o, d, t_max, tables, active)
+        hit = sorted_trace(fn, o, d, t_max, tables, active)
+        if backend == "pallas":
+            hit = rederive_uv(o, d, hit.t, hit.face, tables)
+        return hit
     return fn(o, d, t_max, tables, active)
 
 

@@ -96,20 +96,21 @@ def sorted_trace(trace_fn, o, d, t_max, tables, active=None):
     """Run ``trace_fn(o, d, t_max, tables, active)`` with rays permuted by
     the nearest-cluster key; every (R,)-leading leaf of the result is
     scattered back to original ray order. ``lax.sort`` is stable, so the
-    permutation (and the traced image) is deterministic."""
+    permutation (and the traced image) is deterministic. The ``active``
+    mask is folded into ``t_max`` (dead lane ⇒ empty interval) so only
+    three gathers ride the permutation."""
     r = o.shape[0]
-    if active is None:
-        active = jnp.ones((r,), bool)
-    t_eff = jnp.where(active, t_max, 0.0)
-    key = nearest_cluster_key(o, d, t_eff, tables.clusters.box)
+    if active is not None:
+        t_max = jnp.where(active, t_max, 0.0)
+    key = nearest_cluster_key(o, d, t_max, tables.clusters.box)
     rid = jnp.arange(r, dtype=jnp.int32)
     _, rid_s = jax.lax.sort((key, rid), num_keys=1)
     res_s = trace_fn(
         jnp.take(o, rid_s, axis=0),
         jnp.take(d, rid_s, axis=0),
-        jnp.take(t_eff, rid_s),
+        jnp.take(t_max, rid_s),
         tables,
-        jnp.take(active, rid_s),
+        None,
     )
 
     def unsort(x):
