@@ -180,3 +180,65 @@ def test_sharded_matches_single_chip():
         np.asarray(single.image), np.asarray(sharded.image)
     )
     assert rays > 0
+
+
+def test_sharded_reprojection_matches_single_chip():
+    """The full temporal path under sharding — reprojection, jitter, and
+    the quad predictor all read the REPLICATED prev buffers with global
+    pixel coordinates, so a row-sharded run must stay bit-identical to
+    single-chip across updatePrev rotations."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    from webgpu_raytracing_tpu.ops.reproject import reprojection_frustum
+    from webgpu_raytracing_tpu.parallel.shard import make_mesh, render_sharded
+    from webgpu_raytracing_tpu.renderer import (
+        FrameBuffers,
+        FrameInputs,
+        render_frame,
+    )
+
+    st = SMALL.replace(
+        width=16,
+        height=16,
+        sample_count=1,
+        reprojection_rate=2,
+        jitter_strength=0.5,
+        use_hit_predictor=True,
+    )
+    scene = _mini_scene()
+    tables = scene.tables()
+    env = jnp.zeros((1, 1, 3), jnp.float32)
+    eye = np.eye(4, dtype=np.float32)
+    frustum = reprojection_frustum(eye, st.width, st.height, st.fov)
+
+    def mk_inputs(k):
+        return FrameInputs(
+            view=jnp.asarray(eye),
+            seed=jnp.uint32((7 + k * 2654435761) % (2**32)),
+            counter=jnp.int32(k),
+            jitter=jnp.asarray([0.21, -0.34], jnp.float32),
+            frustum=jnp.asarray(frustum),
+            prev_origin=jnp.zeros((3,), jnp.float32),
+        )
+
+    # single chip, Renderer.step's updatePrev schedule
+    bufs = FrameBuffers.create(st.width, st.height)
+    frame_counter = 0
+    for k in range(3):
+        update_prev = frame_counter % st.reprojection_rate == 0
+        frame_counter = (frame_counter + 1) % st.reprojection_rate
+        bufs, _ = render_frame(bufs, tables, env, mk_inputs(k), st)
+        if update_prev:
+            bufs = bufs.rotated()
+
+    mesh = make_mesh(4)
+    sharded, rays = render_sharded(
+        tables, env, st, n_frames=3, mesh=mesh, inputs_fn=mk_inputs
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bufs.image), np.asarray(sharded.image)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bufs.prev_image), np.asarray(sharded.prev_image)
+    )
+    assert rays > 0

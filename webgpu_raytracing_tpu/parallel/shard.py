@@ -35,11 +35,42 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "rows") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def _buffer_specs() -> "FrameBuffers":
+    """PartitionSpecs per buffer: current-frame state row-sharded,
+    prev-frame snapshots replicated (reprojection + the quad predictor
+    read arbitrary prev pixels — see FrameBuffers docstring)."""
+    import dataclasses as _dc
+
+    return FrameBuffers(
+        **{
+            f.name: P() if f.name.startswith("prev_") else P("rows")
+            for f in _dc.fields(FrameBuffers)
+        }
+    )
+
+
 def shard_buffers(buffers: FrameBuffers, mesh: Mesh) -> FrameBuffers:
-    """Place frame buffers row-sharded on the mesh."""
-    row_sharding = NamedSharding(mesh, P("rows"))
+    """Place frame buffers on the mesh: slabs sharded, prev replicated."""
     return jax.tree.map(
-        lambda x: jax.device_put(x, row_sharding), buffers
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        buffers,
+        _buffer_specs(),
+    )
+
+
+def rotate_prev_sharded(buffers: FrameBuffers, mesh: Mesh) -> FrameBuffers:
+    """The updatePrev rotation (render.ts:1694-1699) under sharding: the
+    row-sharded current buffers are all-gathered into the replicated prev
+    slots — the one collective of the temporal path, paid only at the
+    reprojection-rate cadence."""
+    rep = NamedSharding(mesh, P())
+    import dataclasses as _dc
+
+    return _dc.replace(
+        buffers,
+        prev_image=jax.device_put(buffers.image, rep),
+        prev_geo_position=jax.device_put(buffers.geo_position, rep),
+        prev_geo_face=jax.device_put(buffers.geo_face, rep),
     )
 
 
@@ -71,9 +102,7 @@ def sharded_render_frame(mesh: Mesh, settings: RenderSettings):
 
     import dataclasses as _dc
 
-    buf_spec = FrameBuffers(
-        **{f.name: P("rows") for f in _dc.fields(FrameBuffers)}
-    )
+    buf_spec = _buffer_specs()
     inputs_spec = FrameInputs(
         **{f.name: P() for f in _dc.fields(FrameInputs)}
     )
@@ -108,9 +137,15 @@ def render_sharded(
     n_frames: int,
     mesh: Optional[Mesh] = None,
     seed0: int = 1,
+    inputs_fn=None,
 ) -> Tuple[FrameBuffers, float]:
     """Convenience driver: run ``n_frames`` progressive frames sharded over
-    the mesh; returns (final buffers, total rays traced)."""
+    the mesh; returns (final buffers, total rays traced).
+
+    ``inputs_fn(k) -> FrameInputs`` overrides the default static-camera
+    inputs (for jitter/frustum-driven reprojection runs). The updatePrev
+    rotation follows the reference schedule (render.ts:1652-1657): every
+    frame at reprojection_rate 0, else every rate-th frame."""
     mesh = mesh or make_mesh()
     fn = sharded_render_frame(mesh, settings)
     buffers = shard_buffers(
@@ -119,13 +154,24 @@ def render_sharded(
     tables = replicate(scene_tables, mesh)
     env = replicate(jnp.asarray(env_data), mesh)
     total_rays = 0.0
+    frame_counter = 0
     for k in range(n_frames):
-        inputs = FrameInputs.simple(
-            jnp.eye(4, dtype=jnp.float32),
-            (seed0 + k * 2654435761) % (2**32),
-            k,
-        )
+        if inputs_fn is not None:
+            inputs = inputs_fn(k)
+        else:
+            inputs = FrameInputs.simple(
+                jnp.eye(4, dtype=jnp.float32),
+                (seed0 + k * 2654435761) % (2**32),
+                k,
+            )
+        rate = settings.reprojection_rate
+        update_prev = rate == 0 or frame_counter % rate == 0
+        if rate:
+            frame_counter = (frame_counter + 1) % rate
         inputs = replicate(inputs, mesh)
         buffers, rays = fn(buffers, tables, env, inputs)
         total_rays += float(rays)
+        # prev state feeds the quad predictor too, not just reprojection
+        if update_prev and (settings.reproject or settings.use_hit_predictor):
+            buffers = rotate_prev_sharded(buffers, mesh)
     return buffers, total_rays

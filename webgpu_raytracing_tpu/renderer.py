@@ -46,15 +46,22 @@ from .ops.tonemap import gamma as tonemap_gamma
 class FrameBuffers:
     """Persistent HBM-resident frame state (the reference's storage
     buffers, render.ts:122-159): current accumulation image + G-buffer and
-    the previous-frame snapshots used by the temporal layer."""
+    the previous-frame snapshots used by the temporal layer.
+
+    Sharding contract (parallel/shard.py): the current-frame buffers are
+    row-sharded (each chip owns an image slab), while the ``prev_*``
+    buffers are REPLICATED — temporal reprojection and the quad hit
+    predictor read arbitrary previous-frame pixels (camera motion moves
+    content across slabs), so the prev snapshot must be whole on every
+    chip; the rotation all-gathers once per updatePrev."""
 
     image: jax.Array  # (H, W, 4) f32: rgb sum, sample count
     geo_position: jax.Array  # (H, W, 3) f32
     geo_face: jax.Array  # (H, W) i32
     geo_object: jax.Array  # (H, W) i32
-    prev_image: jax.Array  # (H, W, 4) f32
-    prev_geo_position: jax.Array  # (H, W, 3) f32
-    prev_geo_face: jax.Array  # (H, W) i32
+    prev_image: jax.Array  # (H, W, 4) f32 — full height, even when sharded
+    prev_geo_position: jax.Array  # (H, W, 3) f32 — full height
+    prev_geo_face: jax.Array  # (H, W) i32 — full height
 
     @staticmethod
     def create(width: int, height: int) -> "FrameBuffers":
@@ -153,9 +160,15 @@ def render_tile(
     image = jnp.where(clear, jnp.zeros_like(buffers.image), buffers.image)
 
     # quad-based hit-distance candidates from the previous G-buffer
-    # (render.ts:1121-1141, 1440-1446)
+    # (render.ts:1121-1141, 1440-1446). Quads are computed over the FULL
+    # prev buffer and the slab sliced out after, so 2x2 blocks anchor at
+    # global row parity — identical however the image is sharded.
     prev_quads = (
-        quad_faces(buffers.prev_geo_face).reshape(r, 4)
+        jax.lax.dynamic_slice(
+            quad_faces(buffers.prev_geo_face),
+            (row0, jnp.int32(0), jnp.int32(0)),
+            (h, w, 4),
+        ).reshape(r, 4)
         if settings.use_hit_predictor
         else None
     )
