@@ -28,6 +28,11 @@ from .face import FaceSet
 
 CLUSTER_SIZE = 64
 
+# inverted-empty AABB for pad clusters: min > max makes every slab test
+# miss (near > far), so pad rows are unreachable by construction
+_PAD_BOX_LO = np.float32(3.0e38)
+_PAD_BOX_HI = np.float32(-3.0e38)
+
 
 @dataclasses.dataclass
 class ClusterSet:
@@ -44,6 +49,11 @@ class ClusterSet:
     q2: np.ndarray  # cross(p0, e2)
     k0: np.ndarray  # (C, CLUSTER_SIZE): dot(p0, n)
     face_id: np.ndarray  # (C, CLUSTER_SIZE) int32 global face id (-1 pad)
+    # two-level grouping (large scenes): super s owns cluster rows
+    # [s*group, (s+1)*group); pad rows have empty boxes (min > max) and
+    # zero matrices. None/0 = single-level.
+    super_box: np.ndarray | None = None  # (C2, 6)
+    group: int = 0
 
     @property
     def n_clusters(self) -> int:
@@ -110,12 +120,40 @@ def treelet_cut(bvh: BVH, max_faces: int) -> list:
 def build_clusters(
     models: List,  # List[Model] (scene.py); avoids a circular import
     cluster_size: int = CLUSTER_SIZE,
+    group_size: int = 0,
 ) -> ClusterSet:
     """Chunk every model's preorder-leaf face sequence into clusters.
 
     Clusters never span models, so the model→face-range mapping (the
-    light-sampling contract) stays intact."""
+    light-sampling contract) stays intact.
+
+    With ``group_size`` G > 0, consecutive clusters (which are sibling
+    treelets in DFS order, hence spatially coherent) are additionally
+    grouped into *superclusters* of exactly G children; the global list is
+    padded to a multiple of G with empty clusters (box min > max ⇒ every
+    slab test misses; zero matrices ⇒ det = 0 ⇒ culled). Supers MAY span
+    model boundaries — clusters reference global face ids, so the only
+    cost is one looser super box per seam, far cheaper than per-model
+    padding on many-model scenes. The two-level traversal
+    (ops/cluster_pallas.py) then tests G child boxes in-kernel per super
+    instead of scanning all C cluster boxes per tile at the XLA level —
+    the large-scene scaling fix (BASELINE config #5).
+    """
     boxes, ns, e1s, e2s, q1s, q2s, k0s, fids = [], [], [], [], [], [], [], []
+
+    def emit_pad():
+        boxes.append(
+            np.array([_PAD_BOX_LO] * 3 + [_PAD_BOX_HI] * 3, np.float32)
+        )
+        zero3 = np.zeros((cluster_size, 3), np.float32)
+        ns.append(zero3)
+        e1s.append(zero3)
+        e2s.append(zero3)
+        q1s.append(zero3)
+        q2s.append(zero3)
+        k0s.append(np.zeros((cluster_size,), np.float32))
+        fids.append(np.full((cluster_size,), -1, np.int32))
+
     face_offset = 0
     for m in models:
         faces: FaceSet = m.faces
@@ -157,6 +195,21 @@ def build_clusters(
             k0s.append(pad(k0))
             fids.append(fid)
         face_offset += len(faces)
+    if group_size:
+        # pad the GLOBAL cluster list to a whole number of supers
+        while len(boxes) % group_size:
+            emit_pad()
+
+    super_box = None
+    if group_size:
+        box_arr = np.stack(boxes)
+        c2 = box_arr.shape[0] // group_size
+        grp = box_arr.reshape(c2, group_size, 6)
+        # union over real children only (pads are inverted-empty)
+        super_box = np.concatenate(
+            [grp[:, :, 0:3].min(axis=1), grp[:, :, 3:6].max(axis=1)],
+            axis=-1,
+        ).astype(np.float32)
 
     return ClusterSet(
         box=np.stack(boxes),
@@ -167,4 +220,6 @@ def build_clusters(
         q2=np.stack(q2s),
         k0=np.stack(k0s),
         face_id=np.stack(fids),
+        super_box=super_box,
+        group=group_size,
     )

@@ -87,7 +87,9 @@ class Scene:
             mat_names=self.mat_names,
         )
 
-    def tables(self, cluster_size: int = 128) -> SceneTables:
+    def tables(
+        self, cluster_size: int = 128, group_size: int | None = None
+    ) -> SceneTables:
         """Flatten all models into threaded traversal + shading tables."""
         import jax.numpy as jnp
 
@@ -123,8 +125,18 @@ class Scene:
         from ..ops.cluster_trace import pack_cluster_tables
         from .cluster import build_clusters
 
+        if group_size is None:
+            # two-level clustering once the per-tile XLA box scan over all
+            # clusters would dominate (large scenes, BASELINE config #5):
+            # ~C > 1024 means >1024-lane near vectors per 256-ray tile
+            total_faces = sum(len(m.faces) for m in self.models)
+            group_size = 128 if total_faces > 1024 * cluster_size else 0
         clusters = pack_cluster_tables(
-            build_clusters(self.models, cluster_size=cluster_size)
+            build_clusters(
+                self.models,
+                cluster_size=cluster_size,
+                group_size=group_size,
+            )
         )
 
         return SceneTables(

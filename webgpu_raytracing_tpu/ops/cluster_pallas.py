@@ -86,21 +86,32 @@ def _kernel(
     keys0 = (
         jax.lax.bitcast_convert_type(near0, jnp.int32) & ~mask
     ) | iota_c  # (1, C)
-    # any real near is < F32_MAX, so its masked high bits stay below this
+    k0 = jnp.min(keys0)
+    # miss/pad sentinel (near == F32_MAX), truncated like every key
     # (host-computed: Mosaic has no scalar bitcast)
     import numpy as _np
 
     done_th = int(_np.float32(_INF).view(_np.int32)) & ~mask
-    k0 = jnp.min(keys0)
 
+    # Tile t-pruning bound: rounds run in near order, and a triangle inside
+    # a cluster box can't hit closer than the box entry distance, so the
+    # tile stops as soon as the nearest unprocessed cluster's entry can't
+    # beat any ray's current best (closest) / reach any pending ray's t_max
+    # (any-hit: a ray is done at its FIRST valid hit). Comparison happens
+    # in int-key space — bitcast of a non-negative f32 is order-preserving.
+    # The key's stolen mantissa LSBs truncate the cluster's near DOWN, and
+    # the bound is rounded UP to the same granularity, so the prune is
+    # strictly conservative (never skips a cluster that could still win);
+    # `done_th` caps the bound so miss/pad keys always fail the compare.
     if any_hit:
-        # shadow-ray semantics: a ray is done at its FIRST valid hit;
-        # the tile stops once nothing is pending
-        def _live(best_code):
-            return jnp.max(jnp.where(best_code < 0, t_max[None, :], 0.0)) > 0.0
+        def _bound(best_t, best_code):
+            pending = jnp.where(best_code < 0, t_max[None, :], 0.0)
+            b = jnp.max(jax.lax.bitcast_convert_type(pending, jnp.int32))
+            return jnp.minimum((b + mask) & ~mask, done_th)
     else:
-        def _live(best_code):
-            return True
+        def _bound(best_t, best_code):
+            b = jnp.max(jax.lax.bitcast_convert_type(best_t, jnp.int32))
+            return jnp.minimum((b + mask) & ~mask, done_th)
 
     if hbm:
         b_scratch, dma_sem = scratch  # (2, 16, 4S) VMEM, DMA sems (2,)
@@ -112,21 +123,23 @@ def _kernel(
 
     def cond(state):
         if hbm:
-            return state[5]  # cur_valid: a fetched block awaits processing
-        keys, k_cur, best_t, best_code = state
-        return (k_cur < done_th) & _live(best_code)
+            return state[6]  # cur_valid: a fetched block awaits processing
+        keys, k_cur, best_t, best_code, bound = state
+        return (k_cur & ~mask) < bound
 
     def body(state):
         if hbm:
-            keys, k_cur, best_t, best_code, slot, _valid = state
+            keys, k_cur, best_t, best_code, bound, slot, _valid = state
             cid = k_cur & mask
             # the block for `cid` was prefetched into `slot` last round;
             # pick + prefetch the NEXT block while this round's matmul
-            # runs (double buffering)
+            # runs (double buffering). The prune bound is the PREVIOUS
+            # round's (this round's update lands below) — conservative:
+            # at most one extra block is fetched and processed.
             _dma(slot, cid).wait()
             keys = jnp.where(keys == k_cur, jnp.int32(0x7FFFFFFF), keys)
             k_nxt = jnp.min(keys)
-            nxt_valid = (k_nxt < done_th) & _live(best_code)
+            nxt_valid = (k_nxt & ~mask) < bound
 
             @pl.when(nxt_valid)
             def _():
@@ -134,7 +147,7 @@ def _kernel(
 
             b = b_scratch[slot]
         else:
-            keys, k_cur, best_t, best_code = state
+            keys, k_cur, best_t, best_code, bound = state
             cid = k_cur & mask
             b = matb_ref[cid]  # (16, 4S)
         b_hi = b.astype(jnp.bfloat16)
@@ -175,20 +188,19 @@ def _kernel(
         best_code = jnp.where(
             improved, cid * n_s + win_slot, best_code[0]
         )[None, :]
+        bound = _bound(best_t, best_code)
         if hbm:
-            return keys, k_nxt, best_t, best_code, 1 - slot, nxt_valid
+            return keys, k_nxt, best_t, best_code, bound, 1 - slot, nxt_valid
         keys = jnp.where(keys == k_cur, jnp.int32(0x7FFFFFFF), keys)
-        return keys, jnp.min(keys), best_t, best_code
+        return keys, jnp.min(keys), best_t, best_code, bound
 
-    base_init = (
-        keys0,
-        k0,
-        t_max[None, :],
-        jnp.full((1, t_dim), -1, jnp.int32),
-    )
+    best_t0 = t_max[None, :]
+    code0 = jnp.full((1, t_dim), -1, jnp.int32)
+    bound0 = _bound(best_t0, code0)
+    base_init = (keys0, k0, best_t0, code0, bound0)
     if hbm:
         # warm-up: prefetch the first block (when any work exists)
-        valid0 = k0 < done_th
+        valid0 = (k0 & ~mask) < bound0
 
         @pl.when(valid0)
         def _():
@@ -197,9 +209,183 @@ def _kernel(
         out = jax.lax.while_loop(cond, body, base_init + (0, valid0))
         best_t, best_code = out[2], out[3]
     else:
-        _, _, best_t, best_code = jax.lax.while_loop(cond, body, base_init)
+        _, _, best_t, best_code, _ = jax.lax.while_loop(cond, body, base_init)
     out_t_ref[0] = best_t
     out_code_ref[0] = best_code
+
+
+def _kernel_two_level(
+    a_ref,  # (1, T, 16) ray block: [o, w, d, 1, inv_d, t_max, pad, pad]
+    snear_ref,  # (1, 1, C2p) per-SUPER tile entry distances (XLA-computed)
+    cbox_ref,  # (C2, 8, G) child boxes, transposed per super (VMEM)
+    matb_ref,  # (C, 16, 4S) cluster matrices (HBM; C = C2*G with pads)
+    out_t_ref,  # (1, 1, T)
+    out_code_ref,  # (1, 1, T) int32: winning cid * S + slot (-1 = miss)
+    b_scratch,  # (2, 16, 4S) VMEM
+    dma_sem,  # DMA sems (2,)
+    *,
+    n_s: int,
+    g: int,
+    sid_bits: int,
+    j_bits: int,
+    any_hit: bool = False,
+):
+    """Two-level variant of :func:`_kernel` for large scenes: an outer
+    near-ordered loop over supercluster boxes (tested at the XLA level)
+    gates an inner loop that slab-tests the super's G child boxes
+    *in-kernel* and streams only the children actually hit — so the
+    per-tile box work is O(C2 + supers_hit x G) instead of O(C), the
+    scaling wall of BASELINE config #5. Key packing, bit-exact epilogue,
+    and the conservative int-key t-prune bound are identical to
+    :func:`_kernel`."""
+    a = a_ref[0]  # (T, 16)
+    t_dim = a.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    a_mm = jnp.where(col < 10, a, 0.0)
+    a_hi = a_mm.astype(jnp.bfloat16)
+    a_lo = (a_mm - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    o_col = a[:, 0:3]  # (T, 3)
+    inv_d = a[:, 10:13]
+    t_max = a[:, 13]  # (T,)
+
+    snear0 = snear_ref[0]  # (1, C2p)
+    c2p = snear0.shape[1]
+    iota_c2 = jax.lax.broadcasted_iota(jnp.int32, (1, c2p), 1)
+    iota_g = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (t_dim, n_s), 1)
+
+    smask = (1 << sid_bits) - 1
+    jmask = (1 << j_bits) - 1
+    import numpy as _np
+
+    inf_bits = int(_np.float32(_INF).view(_np.int32))
+    done_s = inf_bits & ~smask
+    done_j = inf_bits & ~jmask
+
+    skeys0 = (
+        jax.lax.bitcast_convert_type(snear0, jnp.int32) & ~smask
+    ) | iota_c2
+    sk0 = jnp.min(skeys0)
+
+    if any_hit:
+        def _bound_raw(best_t, best_code):
+            pending = jnp.where(best_code < 0, t_max[None, :], 0.0)
+            return jnp.max(jax.lax.bitcast_convert_type(pending, jnp.int32))
+    else:
+        def _bound_raw(best_t, best_code):
+            return jnp.max(jax.lax.bitcast_convert_type(best_t, jnp.int32))
+
+    def _bound_s(b):
+        return jnp.minimum((b + smask) & ~smask, done_s)
+
+    def _bound_j(b):
+        return jnp.minimum((b + jmask) & ~jmask, done_j)
+
+    def _dma(slot, cid):
+        return pltpu.make_async_copy(
+            matb_ref.at[cid], b_scratch.at[slot], dma_sem.at[slot]
+        )
+
+    def inner_cond(state):
+        return state[6]  # cur_valid
+
+    def inner_body(state):
+        ckeys, ck_cur, best_t, best_code, bound, slot, _valid, sid = state
+        j = ck_cur & jmask
+        cid = sid * g + j
+        _dma(slot, cid).wait()
+        ckeys = jnp.where(ckeys == ck_cur, jnp.int32(0x7FFFFFFF), ckeys)
+        ck_nxt = jnp.min(ckeys)
+        nxt_valid = (ck_nxt & ~jmask) < _bound_j(bound)
+
+        @pl.when(nxt_valid)
+        def _():
+            _dma(1 - slot, sid * g + (ck_nxt & jmask)).start()
+
+        b = b_scratch[slot]
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = (
+            jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
+            + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
+        )
+        det = out[:, 0 * n_s : 1 * n_s]
+        t_num = out[:, 1 * n_s : 2 * n_s]
+        u_num = out[:, 2 * n_s : 3 * n_s]
+        v_num = out[:, 3 * n_s : 4 * n_s]
+        valid = (
+            (det >= _EPS2)
+            & (u_num >= 0.0)
+            & (u_num <= det)
+            & (v_num >= 0.0)
+            & (u_num + v_num <= det)
+        )
+        inv_det = 1.0 / jnp.where(valid, det, 1.0)
+        t = t_num * inv_det
+        valid = valid & (t > MIN_DIST) & (t < best_t[0][:, None])
+        t_masked = jnp.where(valid, t, _INF)
+        cand_t = jnp.min(t_masked, axis=1)
+        win_slot = jnp.min(
+            jnp.where(t_masked == cand_t[:, None], iota_s, n_s), axis=1
+        )
+        improved = cand_t < best_t[0]
+        best_t = jnp.where(improved, cand_t, best_t[0])[None, :]
+        best_code = jnp.where(
+            improved, cid * n_s + win_slot, best_code[0]
+        )[None, :]
+        bound = _bound_raw(best_t, best_code)
+        return ckeys, ck_nxt, best_t, best_code, bound, 1 - slot, nxt_valid, sid
+
+    def outer_cond(state):
+        skeys, sk_cur, best_t, best_code, bound = state
+        return (sk_cur & ~smask) < _bound_s(bound)
+
+    def outer_body(state):
+        skeys, sk_cur, best_t, best_code, bound = state
+        sid = sk_cur & smask
+        cb = cbox_ref[sid]  # (8, G)
+        near = jnp.full((t_dim, g), -_INF, jnp.float32)
+        far = jnp.full((t_dim, g), _INF, jnp.float32)
+        for ax in range(3):
+            t0 = (cb[ax : ax + 1, :] - o_col[:, ax : ax + 1]) * inv_d[
+                :, ax : ax + 1
+            ]
+            t1 = (cb[3 + ax : 4 + ax, :] - o_col[:, ax : ax + 1]) * inv_d[
+                :, ax : ax + 1
+            ]
+            near = jnp.maximum(near, jnp.minimum(t0, t1))
+            far = jnp.minimum(far, jnp.maximum(t0, t1))
+        hit = (near < far) & (near < t_max[:, None]) & (far > MIN_DIST)
+        nears = jnp.where(hit, jnp.maximum(near, 0.0), _INF)
+        cnear = jnp.min(nears, axis=0, keepdims=True)  # (1, G)
+        ckeys = (
+            jax.lax.bitcast_convert_type(cnear, jnp.int32) & ~jmask
+        ) | iota_g
+        ck0 = jnp.min(ckeys)
+        cvalid0 = (ck0 & ~jmask) < _bound_j(bound)
+
+        @pl.when(cvalid0)
+        def _():
+            _dma(0, sid * g + (ck0 & jmask)).start()
+
+        inner = jax.lax.while_loop(
+            inner_cond,
+            inner_body,
+            (ckeys, ck0, best_t, best_code, bound, 0, cvalid0, sid),
+        )
+        best_t, best_code, bound = inner[2], inner[3], inner[4]
+        skeys = jnp.where(skeys == sk_cur, jnp.int32(0x7FFFFFFF), skeys)
+        return skeys, jnp.min(skeys), best_t, best_code, bound
+
+    best_t0 = t_max[None, :]
+    code0 = jnp.full((1, t_dim), -1, jnp.int32)
+    bound0 = _bound_raw(best_t0, code0)
+    out = jax.lax.while_loop(
+        outer_cond, outer_body, (skeys0, sk0, best_t0, code0, bound0)
+    )
+    out_t_ref[0] = out[2]
+    out_code_ref[0] = out[3]
 
 
 @functools.partial(
@@ -237,14 +423,15 @@ def trace_closest_clustered_pallas(
 
     c = ct.n_clusters
     s = ct.face_id.shape[1]
-    # only the near-vector lane dim needs 128-padding; the cluster table
-    # keeps its true C (padded nears are +inf, so cid never lands there)
-    cp = max(128, -(-c // 128) * 128)
+    two_level = ct.super_box is not None
+    # lane-dim padding for the near vector (supers when two-level)
+    n_boxes = ct.super_box.shape[0] if two_level else c
+    cp = max(128, -(-n_boxes // 128) * 128)
     matb = ct.mat_b
     if matb.shape[1] != 16:
         matb = jnp.pad(matb, ((0, 0), (0, 16 - matb.shape[1]), (0, 0)))
     # tables above the VMEM budget stay in HBM with per-round DMA
-    hbm = (c * 16 * 4 * s * 4) > 12 * 1024 * 1024
+    hbm = two_level or (c * 16 * 4 * s * 4) > 12 * 1024 * 1024
 
     w = jnp.cross(o, d)
     ones = jnp.ones((r, 1), jnp.float32)
@@ -256,10 +443,12 @@ def trace_closest_clustered_pallas(
 
     from .cluster_trace import _boxes_near
 
+    near_boxes = ct.super_box if two_level else ct.box
+
     def tile_nears(args):
         ot, it, tt = args
-        near = jnp.min(_boxes_near(ot, it, ct.box, tt), axis=0)  # (C,)
-        return jnp.pad(near, (0, cp - c), constant_values=F32_MAX)
+        near = jnp.min(_boxes_near(ot, it, near_boxes, tt), axis=0)
+        return jnp.pad(near, (0, cp - n_boxes), constant_values=F32_MAX)
 
     near_tc = jax.lax.map(
         tile_nears,
@@ -275,11 +464,8 @@ def trace_closest_clustered_pallas(
     )
 
     grid = (n_tiles,)
-    # enough mantissa-LSB bits to carry any (padded) cluster id in the key
+    # enough mantissa-LSB bits to carry any (padded) box id in the key
     cid_bits = max(1, (cp - 1).bit_length())
-    kernel = functools.partial(
-        _kernel, n_s=s, cid_bits=cid_bits, any_hit=any_hit, hbm=hbm
-    )
     out_shape = (
         jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.float32),
         jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.int32),
@@ -287,34 +473,66 @@ def trace_closest_clustered_pallas(
     row_spec = pl.BlockSpec(
         (1, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    if hbm:
-        matb_spec = pl.BlockSpec(memory_space=pl.ANY)
-        scratch_shapes = [
-            pltpu.VMEM((2, 16, 4 * s), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ]
-    else:
-        matb_spec = pl.BlockSpec(
-            (c, 16, 4 * s), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    a_spec = pl.BlockSpec(
+        (1, tile, 16), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    near_spec = pl.BlockSpec(
+        (1, 1, cp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    if two_level:
+        g = ct.child_box_t.shape[2]
+        c2 = ct.super_box.shape[0]
+        kernel = functools.partial(
+            _kernel_two_level,
+            n_s=s,
+            g=g,
+            sid_bits=cid_bits,
+            j_bits=max(1, (g - 1).bit_length()),
+            any_hit=any_hit,
         )
-        scratch_shapes = []
-    best_t, best_code = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, tile, 16), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, cp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            matb_spec,
-        ],
-        out_specs=(row_spec, row_spec),
-        out_shape=out_shape,
-        scratch_shapes=scratch_shapes,
-        interpret=interpret,
-    )(a_mat, near_tc.reshape(n_tiles, 1, cp), matb)
+        best_t, best_code = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                a_spec,
+                near_spec,
+                pl.BlockSpec(
+                    (c2, 8, g), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(row_spec, row_spec),
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((2, 16, 4 * s), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(a_mat, near_tc.reshape(n_tiles, 1, cp), ct.child_box_t, matb)
+    else:
+        kernel = functools.partial(
+            _kernel, n_s=s, cid_bits=cid_bits, any_hit=any_hit, hbm=hbm
+        )
+        if hbm:
+            matb_spec = pl.BlockSpec(memory_space=pl.ANY)
+            scratch_shapes = [
+                pltpu.VMEM((2, 16, 4 * s), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        else:
+            matb_spec = pl.BlockSpec(
+                (c, 16, 4 * s), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            )
+            scratch_shapes = []
+        best_t, best_code = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[a_spec, near_spec, matb_spec],
+            out_specs=(row_spec, row_spec),
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(a_mat, near_tc.reshape(n_tiles, 1, cp), matb)
 
     best_t = best_t.reshape(r)[:r0]
     code = best_code.reshape(r)[:r0]

@@ -53,15 +53,33 @@ _INF = float(F32_MAX)
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ClusterTables:
-    """Device-resident cluster tables (a jit-able pytree)."""
+    """Device-resident cluster tables (a jit-able pytree).
+
+    Two-level layout (large scenes, models/cluster.py ``group_size``):
+    ``super_box``/``child_box_t`` present, and supercluster ``s`` owns the
+    cluster rows ``[s*group, (s+1)*group)`` (pad rows: empty boxes, zero
+    matrices). Single-level: both None."""
 
     box: jax.Array  # (C, 6) AABB min/max
     mat_b: jax.Array  # (C, 10, 4*S) the Möller–Trumbore bilinear matrix
     face_id: jax.Array  # (C, S) int32 global face ids (-1 pad)
+    super_box: jax.Array | None = None  # (C2, 6)
+    child_box_t: jax.Array | None = None  # (C2, 8, G): rows bmin.xyz, bmax.xyz
 
     @property
     def n_clusters(self) -> int:
         return self.box.shape[0]
+
+    @property
+    def group(self) -> int:
+        return 0 if self.super_box is None else self.child_box_t.shape[2]
+
+    @property
+    def sort_box(self) -> jax.Array:
+        """Boxes for the ray-coherence sort key (ops/ray_sort.py): the
+        supers when present (a dense test over all C child boxes is
+        exactly the per-ray cost the two-level layout exists to avoid)."""
+        return self.box if self.super_box is None else self.super_box
 
 
 def pack_cluster_tables(clusters) -> ClusterTables:
@@ -85,10 +103,26 @@ def pack_cluster_tables(clusters) -> ClusterTables:
     b[:, 6:9, 3 * s : 4 * s] = -np.transpose(clusters.q1, (0, 2, 1))
     import jax.numpy as _jnp
 
+    super_box = None
+    child_box_t = None
+    if clusters.super_box is not None:
+        g = clusters.group
+        c2 = clusters.super_box.shape[0]
+        # (C2, 8, G): rows 0:3 child bmin.xyz, 3:6 bmax.xyz (transposed so
+        # the in-kernel slab test broadcasts along lanes)
+        cb = np.zeros((c2, 8, g), dtype=np.float32)
+        grp = clusters.box.reshape(c2, g, 6)
+        cb[:, 0:3, :] = np.transpose(grp[:, :, 0:3], (0, 2, 1))
+        cb[:, 3:6, :] = np.transpose(grp[:, :, 3:6], (0, 2, 1))
+        super_box = _jnp.asarray(clusters.super_box)
+        child_box_t = _jnp.asarray(cb)
+
     return ClusterTables(
         box=_jnp.asarray(clusters.box),
         mat_b=_jnp.asarray(b),
         face_id=_jnp.asarray(clusters.face_id),
+        super_box=super_box,
+        child_box_t=child_box_t,
     )
 
 

@@ -102,7 +102,9 @@ def sorted_trace(trace_fn, o, d, t_max, tables, active=None):
     r = o.shape[0]
     if active is not None:
         t_max = jnp.where(active, t_max, 0.0)
-    key = nearest_cluster_key(o, d, t_max, tables.clusters.box)
+    # two-level tables sort by the SUPER boxes: same coherence signal at
+    # a fraction of the dense-test cost (C2 ≈ C/group boxes per ray)
+    key = nearest_cluster_key(o, d, t_max, tables.clusters.sort_box)
     rid = jnp.arange(r, dtype=jnp.int32)
     _, rid_s = jax.lax.sort((key, rid), num_keys=1)
     res_s = trace_fn(
