@@ -83,10 +83,16 @@ def _trace_closest(o, d, t_max, tables, settings, active=None, sort=False):
     if use_sort:
         from .ray_sort import sorted_trace
 
-        hit = sorted_trace(fn, o, d, t_max, tables, active)
         if backend == "pallas":
-            hit = rederive_uv(o, d, hit.t, hit.face, tables)
-        return hit
+            # unsort only (t, face) — u/v are zeros on the derive_uv=False
+            # path, and scattering constants back is wasted HBM traffic
+            def tf(o_, d_, tm_, tb_, act_):
+                h = fn(o_, d_, tm_, tb_, act_)
+                return h.t, h.face
+
+            t, face = sorted_trace(tf, o, d, t_max, tables, active)
+            return rederive_uv(o, d, t, face, tables)
+        return sorted_trace(fn, o, d, t_max, tables, active)
     return fn(o, d, t_max, tables, active)
 
 
@@ -280,6 +286,14 @@ def path_trace(
     rays = jnp.zeros((), jnp.float32)
     prev_bsdf_pdf = jnp.zeros((r,), jnp.float32)  # MIS carry
 
+    # Deferred environment lookup: each lane misses at most once, so the
+    # miss direction/weight are recorded per segment and the (gather-heavy,
+    # per-lane) environment texture fetch runs ONCE after the loop instead
+    # of once per segment — same radiance, 1/n_segments the HBM gathers.
+    env_dir = jnp.zeros((r, 3), jnp.float32)
+    env_w = jnp.zeros((r, 3), jnp.float32)
+    env_mis_pdf = jnp.full((r,), -1.0, jnp.float32)  # ≥0 ⇒ MIS-weighted
+
     n_segments = max(settings.bounces_depth - 1, 0)
     for seg in range(n_segments):
         rays = rays + jnp.sum(alive.astype(jnp.float32))
@@ -293,12 +307,11 @@ def path_trace(
         found = hit.face >= 0
         # miss → environment radiance, path ends (render.ts:1183-1186)
         miss = alive & ~found
-        env = sample_environment(env_img, d, settings.environment)
+        env_dir = jnp.where(miss[..., None], d, env_dir)
+        env_w = jnp.where(miss[..., None], throughput, env_w)
         if env_is and seg > 0:
             # the previous vertex also env-NEE'd: weigh the BSDF strategy
-            w_bsdf = balance_weight(prev_bsdf_pdf, env_pdf(dist, d))
-            env = env * w_bsdf[..., None]
-        color = jnp.where(miss[..., None], color + env * throughput, color)
+            env_mis_pdf = jnp.where(miss, prev_bsdf_pdf, env_mis_pdf)
 
         h = alive & found
         face = jnp.maximum(hit.face, 0)
@@ -373,6 +386,15 @@ def path_trace(
         alive = h & survive
         o = jnp.where(alive[..., None], new_o, o)
         d = jnp.where(alive[..., None], new_d, d)
+
+    # the deferred environment contribution (see init above)
+    env = sample_environment(env_img, env_dir, settings.environment)
+    if env_is:
+        w_bsdf = balance_weight(
+            jnp.maximum(env_mis_pdf, 0.0), env_pdf(dist, env_dir)
+        )
+        env = env * jnp.where(env_mis_pdf >= 0.0, w_bsdf, 1.0)[..., None]
+    color = color + env * env_w
 
     if first_hit is None:
         first_hit = Hit(
