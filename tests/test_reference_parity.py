@@ -1,0 +1,105 @@
+"""Cross-implementation parity: the framework vs the WGSL-semantics
+simulator (validation/wgsl_sim.py — a scalar transliteration of the
+reference megakernel, render.ts:1434-1509).
+
+Two layers of evidence:
+
+* a LIVE 12x12 run of the simulator against the framework's renderer on
+  the bundled scene (same seeds, equal spp) — RMSE must beat the
+  north-star bar of 1e-2 (BASELINE.md);
+* the checked-in 48x48 golden (tools/make_reference_golden.py) against
+  the renderer, same bar, more pixels.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from webgpu_raytracing_tpu.camera import Camera
+from webgpu_raytracing_tpu.config import RenderSettings
+from webgpu_raytracing_tpu.models.scene import load_scene
+from webgpu_raytracing_tpu.renderer import Renderer
+
+
+OBJ = "/root/reference/assets/raytraced-scene.obj"
+MTL = "/root/reference/assets/raytraced-scene.mtl"
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "wgsl_reference_48x48.npz")
+
+
+def synthetic_equirect(h=64, w=128):
+    """Deterministic stand-in for the reference's 4k EXR skybox (the asset
+    isn't bundled in this environment): a smooth sky gradient with a bright
+    sun patch, shared verbatim by both implementations — exercising the
+    identical equirect nearest-texel fetch path (render.ts:932-940)."""
+    ys = np.linspace(0.0, 1.0, h, dtype=np.float32)[:, None]
+    xs = np.linspace(0.0, 1.0, w, dtype=np.float32)[None, :]
+    r = 0.4 + 0.5 * ys + 0.05 * np.sin(xs * 12.0)
+    g = 0.5 + 0.4 * ys + 0.05 * np.cos(xs * 7.0)
+    b = 0.8 + 0.2 * ys
+    img = np.stack(
+        [np.broadcast_to(c, (h, w)) for c in (r, g, b)], axis=-1
+    ).astype(np.float32)
+    sun = np.exp(
+        -(((ys - 0.75) * 8.0) ** 2 + ((xs - 0.3) * 8.0) ** 2)
+    ).astype(np.float32)
+    return img + 20.0 * sun[..., None] * np.array([1.0, 0.9, 0.7], np.float32)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(OBJ), reason="reference assets unavailable"
+)
+
+
+def _rmse(a, b):
+    return float(np.sqrt(np.mean((a - b) ** 2)))
+
+
+def _render_repo(size, seeds, env):
+    settings = RenderSettings(
+        width=size, height=size, environment="equirect",
+        sample_count=1, bounces_depth=4,
+    )
+    scene = load_scene(OBJ, MTL)
+    r = Renderer(scene, settings, env_data=env)
+    for seed in seeds:
+        r.step(seed=seed)
+    return np.asarray(r.buffers.image)
+
+
+def _normalized(img):
+    return img[..., :3] / np.maximum(img[..., 3:4], 1e-20)
+
+
+@pytest.fixture(scope="module")
+def env():
+    return synthetic_equirect()
+
+
+def test_live_sim_vs_renderer_rmse(env):
+    from webgpu_raytracing_tpu.validation.wgsl_sim import WGSLReference
+
+    size, seeds = 12, [777]
+    settings = RenderSettings(
+        width=size, height=size, environment="equirect",
+        sample_count=1, bounces_depth=4,
+    )
+    scene = load_scene(OBJ, MTL)
+    sim = WGSLReference(scene, settings, env)
+    sim.step(seeds[0], Camera().view_matrix())
+
+    ours = _render_repo(size, seeds, env)
+    # equal spp per pixel by construction
+    np.testing.assert_array_equal(ours[..., 3], sim.image[..., 3])
+    rmse = _rmse(_normalized(ours), _normalized(sim.image))
+    assert rmse <= 1e-2, f"cross-implementation RMSE {rmse}"
+
+
+def test_golden_vs_renderer_rmse(env):
+    if not os.path.exists(GOLDEN):
+        pytest.skip("golden not generated")
+    z = np.load(GOLDEN)
+    size = int(z["size"][0])
+    ours = _render_repo(size, [int(s) for s in z["seeds"]], env)
+    np.testing.assert_array_equal(ours[..., 3], z["image"][..., 3])
+    rmse = _rmse(_normalized(ours), _normalized(z["image"]))
+    assert rmse <= 1e-2, f"cross-implementation RMSE vs golden {rmse}"
