@@ -263,6 +263,22 @@ def cmd_compare(args):
                       "within_1e-2": bool(val <= 1e-2)}))
 
 
+def cmd_serve(args):
+    """Live progressive viewer (the reference's defining capability:
+    index.tsx:19-28 rAF loop + UI.tsx panel + controls.ts FPS camera)."""
+    _enable_cache()
+    from .viewer import serve
+
+    renderer = _build(args)
+    serve(
+        renderer,
+        host=args.host,
+        port=args.port,
+        scale=args.view_scale,
+        max_frames=args.max_frames,
+    )
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="webgpu_raytracing_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -337,6 +353,18 @@ def build_parser():
     sp.add_argument("-o", "--output", default="orbit_out")
     sp.add_argument("--frames", type=int, default=8)
     sp.set_defaults(fn=cmd_orbit)
+
+    sp = sub.add_parser(
+        "serve",
+        help="live progressive viewer (browser at http://host:port)",
+    )
+    common(sp)
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8787)
+    sp.add_argument("--view-scale", type=int, default=2,
+                    help="browser upscaling of the render")
+    sp.add_argument("--max-frames", type=int, default=None)
+    sp.set_defaults(fn=cmd_serve)
     return p
 
 

@@ -1,0 +1,252 @@
+"""Live progressive viewer — the interactive frontend.
+
+The reference is a *live* renderer: a rAF loop re-renders progressively
+(index.tsx:19-28), pointer-lock FPS controls fly the camera
+(controls.ts:30-58), any motion resets accumulation (store.ts:192-344),
+and a SolidJS panel shows smoothed timings (UI.tsx:25-202). This module is
+the TPU-native equivalent: a local HTTP server streams the blit buffer as
+PNG to a minimal browser page, input events post back to the render loop,
+and the page overlays live stats.
+
+Mapping:
+
+* rAF loop (index.tsx:19-28)    → :func:`serve`'s render loop (drain
+  inputs → ``Controls.update`` → ``Renderer.step`` → publish frame)
+* pointer look (controls.ts:51) → mouse drag on the canvas → POST /input
+* WASD/Shift (controls.ts:76)   → key events → POST /input
+* reset-on-move (store setters) → ``Renderer.move/rotate_camera``
+* UI panel (UI.tsx:25-202)      → stats overlay (/stats.json) + hotkeys:
+  B = BVH wireframe, V = blit view cycle, P = projection cycle,
+  T = tonemap cycle, R = reset accumulation (each setting change retraces,
+  the analog of the reference's reactive pipeline recompile)
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..camera import Controls
+from ..config import BlitView, ProjectionType, Tonemapping
+
+_PAGE = """<!doctype html>
+<html><head><title>webgpu-raytracing-tpu</title><style>
+ body{margin:0;background:#111;color:#ddd;font:12px monospace;
+      display:flex;flex-direction:column;align-items:center}
+ #hud{padding:6px;white-space:pre}
+ img{image-rendering:pixelated;outline:1px solid #333;cursor:crosshair}
+ #help{color:#777;padding:4px}
+</style></head><body>
+<div id="hud">connecting…</div>
+<img id="view" width=WIDTH height=HEIGHT draggable=false>
+<div id="help">drag = look · WASD/arrows = move · Space/C = up/down ·
+Shift = run · B wireframe · V view · P projection · T tonemap · R reset</div>
+<script>
+const img = document.getElementById('view');
+let n = 0;
+function refresh(){ img.src = '/frame.png?c=' + (n++); }
+img.onload = () => setTimeout(refresh, 30);
+img.onerror = () => setTimeout(refresh, 250);
+refresh();
+setInterval(async () => {
+  const s = await (await fetch('/stats.json')).json();
+  document.getElementById('hud').textContent =
+    `frame ${s.counter}  spp ${s.spp.toFixed(0)}  ` +
+    `${s.frame_ms.toFixed(0)} ms/frame  ${s.mrays.toFixed(2)} Mrays/s  ` +
+    `${s.width}x${s.height}`;
+}, 500);
+function post(o){ fetch('/input', {method:'POST', body: JSON.stringify(o)}); }
+let drag = null;
+img.onmousedown = e => { drag = [e.clientX, e.clientY]; };
+window.onmouseup = () => { drag = null; };
+window.onmousemove = e => {
+  if (!drag) return;
+  const dx = e.clientX - drag[0], dy = e.clientY - drag[1];
+  drag = [e.clientX, e.clientY];
+  post({type:'look', dx, dy});
+};
+window.onkeydown = e => {
+  if (e.repeat) return;
+  post({type:'key', key: e.key, down: true});
+};
+window.onkeyup = e => post({type:'key', key: e.key, down: false});
+window.onblur = () => post({type:'blur'});
+</script></body></html>
+"""
+
+
+class _Shared:
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.png = b""
+        self.stats = {}
+        self.inputs: queue.Queue = queue.Queue()
+
+
+def _encode_png(img01: np.ndarray) -> bytes:
+    from PIL import Image
+
+    arr = (np.clip(img01, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG", compress_level=1)
+    return buf.getvalue()
+
+
+def _make_handler(shared: _Shared, width: int, height: int, scale: int):
+    page = (
+        _PAGE.replace("WIDTH", str(width * scale))
+        .replace("HEIGHT", str(height * scale))
+        .encode()
+    )
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code, ctype, body):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Cache-Control", "no-store")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.startswith("/frame.png"):
+                with shared.lock:
+                    png = shared.png
+                self._send(200, "image/png", png or b"")
+            elif self.path.startswith("/stats.json"):
+                with shared.lock:
+                    body = json.dumps(shared.stats).encode()
+                self._send(200, "application/json", body)
+            else:
+                self._send(200, "text/html", page)
+
+        def do_POST(self):
+            if self.path.startswith("/input"):
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    shared.inputs.put(json.loads(self.rfile.read(n)))
+                except Exception:
+                    pass
+                self._send(200, "text/plain", b"ok")
+            else:
+                self._send(404, "text/plain", b"")
+
+    return Handler
+
+
+_BLIT_CYCLE = list(BlitView)
+_PROJ_CYCLE = list(ProjectionType)
+_TONE_CYCLE = list(Tonemapping)
+
+
+def _apply_inputs(renderer, controls: Controls, shared: _Shared) -> None:
+    """Drain queued browser events into camera/settings mutations — each
+    image-relevant change resets accumulation via the Renderer, exactly
+    like the reference's store setters (store.ts:192-344)."""
+    while True:
+        try:
+            ev = shared.inputs.get_nowait()
+        except queue.Empty:
+            return
+        t = ev.get("type")
+        if t == "look":
+            if controls.pointer(
+                float(ev.get("dx", 0.0)), float(ev.get("dy", 0.0)), 1.0
+            ):
+                renderer.reset()
+        elif t == "key":
+            key = str(ev.get("key", ""))
+            if ev.get("down"):
+                if key in ("b", "B"):
+                    renderer.update_settings(
+                        debug_bvh=not renderer.settings.debug_bvh
+                    )
+                elif key in ("v", "V"):
+                    cur = _BLIT_CYCLE.index(renderer.settings.blit_view)
+                    renderer.update_settings(
+                        blit_view=_BLIT_CYCLE[(cur + 1) % len(_BLIT_CYCLE)]
+                    )
+                elif key in ("p", "P"):
+                    cur = _PROJ_CYCLE.index(renderer.settings.projection_type)
+                    renderer.update_settings(
+                        projection_type=_PROJ_CYCLE[
+                            (cur + 1) % len(_PROJ_CYCLE)
+                        ]
+                    )
+                elif key in ("t", "T"):
+                    cur = _TONE_CYCLE.index(renderer.settings.tonemapping)
+                    renderer.update_settings(
+                        tonemapping=_TONE_CYCLE[(cur + 1) % len(_TONE_CYCLE)]
+                    )
+                elif key in ("r", "R"):
+                    renderer.reset()
+                else:
+                    controls.press(key)
+            else:
+                controls.release(key)
+        elif t == "blur":
+            controls.release_all()
+
+
+def serve(
+    renderer,
+    host: str = "127.0.0.1",
+    port: int = 8787,
+    scale: int = 1,
+    max_frames: int | None = None,
+) -> None:
+    """Run the progressive render loop and serve it at http://host:port.
+
+    ``max_frames`` bounds the loop (tests/headless benches); None = until
+    interrupted."""
+    shared = _Shared()
+    s = renderer.settings
+    handler = _make_handler(shared, s.width, s.height, scale)
+    httpd = ThreadingHTTPServer((host, port), handler)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    controls = Controls(renderer.camera)
+    print(f"live viewer: http://{host}:{httpd.server_address[1]}/")
+
+    frames = 0
+    prev = time.perf_counter()
+    try:
+        while max_frames is None or frames < max_frames:
+            now = time.perf_counter()
+            dt = now - prev
+            prev = now
+            _apply_inputs(renderer, controls, shared)
+            if controls.update(dt):
+                renderer.reset()
+            t0 = time.perf_counter()
+            renderer.step()
+            img = renderer.image()
+            frame_s = time.perf_counter() - t0
+            png = _encode_png(img)
+            spp = float(
+                np.asarray(renderer.buffers.image[..., 3]).mean()
+            )
+            with shared.lock:
+                shared.png = png
+                shared.stats = {
+                    "counter": renderer.counter,
+                    "spp": spp,
+                    "frame_ms": frame_s * 1e3,
+                    "mrays": renderer.last_rays / max(frame_s, 1e-9) / 1e6,
+                    "width": s.width,
+                    "height": s.height,
+                }
+            frames += 1
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
