@@ -100,3 +100,26 @@ def test_two_level_any_hit_interpret(rng_np):
         interpret=True, any_hit=True,
     )
     np.testing.assert_array_equal(np.asarray(pk.face) >= 0, np.asarray(ref))
+
+
+def test_kernel_near_interpret_matches_threaded(rng_np):
+    """kernel_near=True (in-kernel tile-nears; measured-out on real frames
+    but kept as an option) must stay result-identical."""
+    scene = _scene()
+    tables = scene.tables()
+    n = 256
+    o = rng_np.uniform(-3, 3, (n, 3)).astype(np.float32)
+    d = rng_np.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmax = jnp.full((n,), F32_MAX, jnp.float32)
+    ref = trace_closest(jnp.asarray(o), jnp.asarray(d), tmax, tables)
+    pk = trace_closest_clustered_pallas(
+        jnp.asarray(o), jnp.asarray(d), tmax, tables, tile=128,
+        interpret=True, kernel_near=True,
+    )
+    hits = np.asarray(ref.face) >= 0
+    np.testing.assert_array_equal(np.asarray(pk.face) >= 0, hits)
+    np.testing.assert_allclose(
+        np.asarray(pk.t)[hits], np.asarray(ref.t)[hits], rtol=2e-4,
+        atol=1e-5,
+    )

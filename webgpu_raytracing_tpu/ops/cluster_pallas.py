@@ -46,7 +46,8 @@ _NEAR_CHUNK = 128  # rays per in-kernel box-test chunk (bounds VMEM temps)
 
 def _kernel(
     a_ref,  # (1, T, 16) ray block: [o, w, d, 1, inv_d, t_max, pad, pad]
-    near_ref,  # (1, 1, C) per-cluster tile entry distances (XLA-computed)
+    near_ref,  # (1, 1, C) tile nears (XLA) — or (1, 8, C) transposed
+    #           cluster boxes when in_near=True (nears computed in-kernel)
     matb_ref,  # (C, 16, 4S) cluster matrices (VMEM, or HBM when hbm=True)
     out_t_ref,  # (1, 1, T)
     out_code_ref,  # (1, 1, T) int32: winning cid * S + slot (-1 = miss)
@@ -55,6 +56,7 @@ def _kernel(
     cid_bits: int,
     any_hit: bool = False,
     hbm: bool = False,
+    in_near: bool = False,
 ):
     a = a_ref[0]  # (T, 16)
     t_dim = a.shape[0]
@@ -67,11 +69,34 @@ def _kernel(
     a_mm = jnp.where(col < 10, a, 0.0)
     a_hi = a_mm.astype(jnp.bfloat16)
     a_lo = (a_mm - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    near0 = near_ref[0]  # (1, C)
-    c_dim = near0.shape[1]
+    t_max = a[:, 13]  # (T,)
+    if in_near:
+        # the per-tile near vector computed HERE from VMEM-resident boxes
+        # (replaces the XLA tile-nears pass and its HBM round-trip; the
+        # same per-axis slab accumulation as cluster_trace._boxes_near)
+        bx = near_ref[0]  # (8, C): rows 0:3 bmin.xyz, 3:6 bmax.xyz
+        c_dim = bx.shape[1]
+        o_col = a[:, 0:3]
+        inv_d = a[:, 10:13]
+        near = jnp.full((t_dim, c_dim), -_INF, jnp.float32)
+        far = jnp.full((t_dim, c_dim), _INF, jnp.float32)
+        for ax in range(3):
+            t0 = (bx[ax : ax + 1, :] - o_col[:, ax : ax + 1]) * inv_d[
+                :, ax : ax + 1
+            ]
+            t1 = (bx[3 + ax : 4 + ax, :] - o_col[:, ax : ax + 1]) * inv_d[
+                :, ax : ax + 1
+            ]
+            near = jnp.maximum(near, jnp.minimum(t0, t1))
+            far = jnp.minimum(far, jnp.maximum(t0, t1))
+        hit = (near < far) & (near < t_max[:, None]) & (far > MIN_DIST)
+        nears = jnp.where(hit, jnp.maximum(near, 0.0), _INF)
+        near0 = jnp.min(nears, axis=0, keepdims=True)  # (1, C)
+    else:
+        near0 = near_ref[0]  # (1, C)
+        c_dim = near0.shape[1]
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, c_dim), 1)
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (t_dim, n_s), 1)
-    t_max = a[:, 13]  # (T,)
 
     # The per-round pick is the serial-latency hot spot: rounds are chained
     # through it, and each cross-lane reduction costs ~0.1-0.2 µs. So
@@ -389,7 +414,10 @@ def _kernel_two_level(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile", "interpret", "any_hit", "derive_uv")
+    jax.jit,
+    static_argnames=(
+        "tile", "interpret", "any_hit", "derive_uv", "kernel_near"
+    ),
 )
 def trace_closest_clustered_pallas(
     o: jnp.ndarray,
@@ -401,6 +429,7 @@ def trace_closest_clustered_pallas(
     interpret: bool = False,
     any_hit: bool = False,
     derive_uv: bool = True,
+    kernel_near: bool = False,
 ) -> Hit:
     """Drop-in closest-hit using the Pallas tile kernel. With ``any_hit``
     the per-tile rounds stop as soon as every live ray has found *some*
@@ -444,24 +473,38 @@ def trace_closest_clustered_pallas(
     from .cluster_trace import _boxes_near
 
     near_boxes = ct.super_box if two_level else ct.box
+    # kernel_near=True computes tile nears IN-kernel from resident boxes
+    # (single-level VMEM path only). Measured SLOWER on real frames than
+    # the XLA tile-nears pass despite the op-count estimate — kept as an
+    # option for re-measurement, default off.
+    in_near = kernel_near and not two_level and not hbm
 
-    def tile_nears(args):
-        ot, it, tt = args
-        near = jnp.min(_boxes_near(ot, it, near_boxes, tt), axis=0)
-        return jnp.pad(near, (0, cp - n_boxes), constant_values=F32_MAX)
+    if in_near:
+        bx = jnp.full((8, cp), F32_MAX, jnp.float32)
+        # pad columns stay inverted-empty (min=+MAX > max=-MAX ⇒ miss)
+        bx = bx.at[3:6, :].set(-F32_MAX)
+        bx = bx.at[0:3, :c].set(ct.box[:, 0:3].T)
+        bx = bx.at[3:6, :c].set(ct.box[:, 3:6].T)
+        near_tc = bx[None]  # (1, 8, cp), one block shared by every tile
+    else:
 
-    near_tc = jax.lax.map(
-        tile_nears,
-        (
-            o.reshape(n_tiles, tile, 3),
-            inv_d.reshape(n_tiles, tile, 3),
-            t_max.reshape(n_tiles, tile),
-        ),
-        # big vector batches — O(1) sequential map steps. _boxes_near
-        # materializes two (B, tile, C, 3) f32 temporaries, so a budget of
-        # E = B·tile·C elements costs ~24·E bytes (~400 MB at 16M).
-        batch_size=max(1, min(n_tiles, 16_777_216 // (tile * cp))),
-    )
+        def tile_nears(args):
+            ot, it, tt = args
+            near = jnp.min(_boxes_near(ot, it, near_boxes, tt), axis=0)
+            return jnp.pad(near, (0, cp - n_boxes), constant_values=F32_MAX)
+
+        near_tc = jax.lax.map(
+            tile_nears,
+            (
+                o.reshape(n_tiles, tile, 3),
+                inv_d.reshape(n_tiles, tile, 3),
+                t_max.reshape(n_tiles, tile),
+            ),
+            # big vector batches — O(1) sequential map steps. _boxes_near
+            # materializes two (B, tile, C, 3) f32 temporaries, so a
+            # budget of E = B·tile·C elements costs ~24·E bytes.
+            batch_size=max(1, min(n_tiles, 16_777_216 // (tile * cp))),
+        ).reshape(n_tiles, 1, cp)
 
     grid = (n_tiles,)
     # enough mantissa-LSB bits to carry any (padded) box id in the key
@@ -511,8 +554,13 @@ def trace_closest_clustered_pallas(
         )(a_mat, near_tc.reshape(n_tiles, 1, cp), ct.child_box_t, matb)
     else:
         kernel = functools.partial(
-            _kernel, n_s=s, cid_bits=cid_bits, any_hit=any_hit, hbm=hbm
+            _kernel, n_s=s, cid_bits=cid_bits, any_hit=any_hit, hbm=hbm,
+            in_near=in_near,
         )
+        if in_near:
+            near_spec = pl.BlockSpec(
+                (1, 8, cp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            )
         if hbm:
             matb_spec = pl.BlockSpec(memory_space=pl.ANY)
             scratch_shapes = [
@@ -532,7 +580,7 @@ def trace_closest_clustered_pallas(
             out_shape=out_shape,
             scratch_shapes=scratch_shapes,
             interpret=interpret,
-        )(a_mat, near_tc.reshape(n_tiles, 1, cp), matb)
+        )(a_mat, near_tc, matb)
 
     best_t = best_t.reshape(r)[:r0]
     code = best_code.reshape(r)[:r0]
