@@ -254,3 +254,35 @@ def test_pallas_any_hit_interpret_matches_threaded(rng_np):
         np.testing.assert_array_equal(
             np.asarray(pk.face) >= 0, np.asarray(ref)
         )
+
+
+def test_pallas_tiles_per_step_bit_identical(rng_np):
+    """tiles_per_step > 1 (multi-tile grid steps) is a pure scheduling
+    change — results must be bit-identical to tiles_per_step=1, including
+    when the tile count does not divide the step count (tail padding)."""
+    from webgpu_raytracing_tpu.ops.cluster_pallas import (
+        trace_closest_clustered_pallas,
+    )
+
+    scene = _scene()
+    tables = scene.tables()
+    n = 384  # 3 tiles of 128 — not divisible by steps of 2 or 4
+    o = rng_np.uniform(-3, 3, (n, 3)).astype(np.float32)
+    d = rng_np.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmax = jnp.full((n,), F32_MAX, jnp.float32)
+    base = trace_closest_clustered_pallas(
+        jnp.asarray(o), jnp.asarray(d), tmax, tables, tile=128,
+        interpret=True,
+    )
+    for g in (2, 4):
+        multi = trace_closest_clustered_pallas(
+            jnp.asarray(o), jnp.asarray(d), tmax, tables, tile=128,
+            interpret=True, tiles_per_step=g,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(multi.face), np.asarray(base.face)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(multi.t), np.asarray(base.t)
+        )

@@ -136,6 +136,10 @@ class RenderSettings:
     traversal: str = "auto"
     # Ray-tile size for clustered tracing (coherent pixel groups).
     trace_tile: int = 256
+    # Ray tiles folded into one Pallas grid step (single-level kernel):
+    # amortizes the fixed per-step cost over several tiles; results are
+    # bit-identical for any value.
+    tiles_per_step: int = 1
     # Sort bounce/shadow rays by nearest hit cluster before tracing
     # (ops/ray_sort.py): collapses tile cluster-unions ~4x on incoherent
     # segments and compacts dead lanes to the back (the wavefront-

@@ -45,12 +45,12 @@ _NEAR_CHUNK = 128  # rays per in-kernel box-test chunk (bounds VMEM temps)
 
 
 def _kernel(
-    a_ref,  # (1, T, 16) ray block: [o, w, d, 1, inv_d, t_max, pad, pad]
-    near_ref,  # (1, 1, C) tile nears (XLA) — or (1, 8, C) transposed
+    a_ref,  # (G, T, 16) ray blocks: [o, w, d, 1, inv_d, t_max, pad, pad]
+    near_ref,  # (G, 1, C) tile nears (XLA) — or (1, 8, C) transposed
     #           cluster boxes when in_near=True (nears computed in-kernel)
     matb_ref,  # (C, 16, 4S) cluster matrices (VMEM, or HBM when hbm=True)
-    out_t_ref,  # (1, 1, T)
-    out_code_ref,  # (1, 1, T) int32: winning cid * S + slot (-1 = miss)
+    out_t_ref,  # (G, 1, T)
+    out_code_ref,  # (G, 1, T) int32: winning cid * S + slot (-1 = miss)
     *scratch,  # hbm=True: (b_scratch VMEM (2, 16, 4S), dma_sems (2,))
     n_s: int,
     cid_bits: int,
@@ -58,7 +58,28 @@ def _kernel(
     hbm: bool = False,
     in_near: bool = False,
 ):
-    a = a_ref[0]  # (T, 16)
+    # Each grid step owns `G` ray tiles, processed back-to-back by the same
+    # per-tile round loop — G > 1 amortizes the fixed per-grid-step cost
+    # (prologue + block DMA turnaround, ~6 µs) over G tiles.
+    for g in range(a_ref.shape[0]):
+        _kernel_one_tile(
+            a_ref, near_ref, matb_ref, out_t_ref, out_code_ref, scratch,
+            g=g, n_s=n_s, cid_bits=cid_bits, any_hit=any_hit, hbm=hbm,
+            in_near=in_near,
+        )
+
+
+def _kernel_one_tile(
+    a_ref, near_ref, matb_ref, out_t_ref, out_code_ref, scratch,
+    *,
+    g: int,
+    n_s: int,
+    cid_bits: int,
+    any_hit: bool,
+    hbm: bool,
+    in_near: bool,
+):
+    a = a_ref[g]  # (T, 16)
     t_dim = a.shape[0]
     # bf16 hi/lo split for 3-pass f32-accurate matmuls (Mosaic has no
     # Precision.HIGH; HIGHEST is 6 passes — the dropped lo*lo term is
@@ -93,7 +114,7 @@ def _kernel(
         nears = jnp.where(hit, jnp.maximum(near, 0.0), _INF)
         near0 = jnp.min(nears, axis=0, keepdims=True)  # (1, C)
     else:
-        near0 = near_ref[0]  # (1, C)
+        near0 = near_ref[g]  # (1, C)
         c_dim = near0.shape[1]
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, c_dim), 1)
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (t_dim, n_s), 1)
@@ -235,8 +256,8 @@ def _kernel(
         best_t, best_code = out[2], out[3]
     else:
         _, _, best_t, best_code, _ = jax.lax.while_loop(cond, body, base_init)
-    out_t_ref[0] = best_t
-    out_code_ref[0] = best_code
+    out_t_ref[g] = best_t
+    out_code_ref[g] = best_code
 
 
 def _kernel_two_level(
@@ -416,7 +437,8 @@ def _kernel_two_level(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "tile", "interpret", "any_hit", "derive_uv", "kernel_near"
+        "tile", "interpret", "any_hit", "derive_uv", "kernel_near",
+        "tiles_per_step",
     ),
 )
 def trace_closest_clustered_pallas(
@@ -430,18 +452,23 @@ def trace_closest_clustered_pallas(
     any_hit: bool = False,
     derive_uv: bool = True,
     kernel_near: bool = False,
+    tiles_per_step: int = 1,
 ) -> Hit:
     """Drop-in closest-hit using the Pallas tile kernel. With ``any_hit``
     the per-tile rounds stop as soon as every live ray has found *some*
     valid hit (shadow-ray semantics — the reference's
     rayIntersectBVHAnyHit, render.ts:468-480); the returned t is then any
-    valid hit, not necessarily the closest."""
+    valid hit, not necessarily the closest. ``tiles_per_step`` > 1 folds
+    several ray tiles into one grid step (single-level kernel only) to
+    amortize the fixed per-step cost; results are bit-identical."""
     ct: ClusterTables = tables.clusters
     r0 = o.shape[0]
     if active is None:
         active = jnp.ones((r0,), bool)
-    if r0 % tile:
-        pad = tile - r0 % tile
+    two_level_early = ct.super_box is not None
+    step = tile * (1 if two_level_early else max(1, tiles_per_step))
+    if r0 % step:
+        pad = step - r0 % step
         o = jnp.concatenate([o, jnp.ones((pad, 3), o.dtype)], axis=0)
         d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)], axis=0)
         t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)])
@@ -506,7 +533,8 @@ def trace_closest_clustered_pallas(
             batch_size=max(1, min(n_tiles, 16_777_216 // (tile * cp))),
         ).reshape(n_tiles, 1, cp)
 
-    grid = (n_tiles,)
+    g_step = 1 if two_level else max(1, min(tiles_per_step, n_tiles))
+    grid = (n_tiles // g_step,)
     # enough mantissa-LSB bits to carry any (padded) box id in the key
     cid_bits = max(1, (cp - 1).bit_length())
     out_shape = (
@@ -514,13 +542,13 @@ def trace_closest_clustered_pallas(
         jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.int32),
     )
     row_spec = pl.BlockSpec(
-        (1, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (g_step, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     a_spec = pl.BlockSpec(
-        (1, tile, 16), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (g_step, tile, 16), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     near_spec = pl.BlockSpec(
-        (1, 1, cp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (g_step, 1, cp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     if two_level:
         g = ct.child_box_t.shape[2]

@@ -67,6 +67,7 @@ def _trace_closest(o, d, t_max, tables, settings, active=None, sort=False):
         fn = functools.partial(
             trace_closest_clustered_pallas,
             tile=settings.trace_tile,
+            tiles_per_step=settings.tiles_per_step,
             # sorted path: re-derive u/v after unsorting (2 fewer unsort
             # scatters; the algebra only needs original-order o/d/face)
             derive_uv=not use_sort,
@@ -104,7 +105,7 @@ def _trace_any(o, d, t_max, tables, settings, active=None, sort=False):
         def fn(o, d, t_max, tables, active):
             hit = trace_closest_clustered_pallas(
                 o, d, t_max, tables, active, tile=settings.trace_tile,
-                any_hit=True,
+                tiles_per_step=settings.tiles_per_step, any_hit=True,
             )
             return hit.face >= 0
 
