@@ -139,6 +139,16 @@ def _kernel_one_tile(
 
     done_th = int(_np.float32(_INF).view(_np.int32)) & ~mask
 
+    # The per-ray best is ALSO a packed int32 key: bitcast(t) with the low
+    # `sl_bits` mantissa bits stolen for the winning face slot. One min
+    # per round then yields winner-t AND slot together, replacing the
+    # equality-probe + where + second reduction of an argmin (and the
+    # elementwise t<best prefilter) — the round epilogue is the serial
+    # hot spot. Cost: t is truncated DOWN by <= 2^-16 relative (far below
+    # f32 intersection noise; u/v are re-derived exactly from the face).
+    sl_bits = max(1, (n_s - 1).bit_length())
+    sl_mask = (1 << sl_bits) - 1
+
     # Tile t-pruning bound: rounds run in near order, and a triangle inside
     # a cluster box can't hit closer than the box entry distance, so the
     # tile stops as soon as the nearest unprocessed cluster's entry can't
@@ -146,17 +156,18 @@ def _kernel_one_tile(
     # (any-hit: a ray is done at its FIRST valid hit). Comparison happens
     # in int-key space — bitcast of a non-negative f32 is order-preserving.
     # The key's stolen mantissa LSBs truncate the cluster's near DOWN, and
-    # the bound is rounded UP to the same granularity, so the prune is
-    # strictly conservative (never skips a cluster that could still win);
-    # `done_th` caps the bound so miss/pad keys always fail the compare.
+    # the bound is rounded UP (`| sl_mask` restores the best key's
+    # truncated LSBs to an upper bound of the true t first), so the prune
+    # is strictly conservative (never skips a cluster that could still
+    # win); `done_th` caps the bound so miss/pad keys always fail.
     if any_hit:
-        def _bound(best_t, best_code):
+        def _bound(best_key, best_code):
             pending = jnp.where(best_code < 0, t_max[None, :], 0.0)
             b = jnp.max(jax.lax.bitcast_convert_type(pending, jnp.int32))
             return jnp.minimum((b + mask) & ~mask, done_th)
     else:
-        def _bound(best_t, best_code):
-            b = jnp.max(jax.lax.bitcast_convert_type(best_t, jnp.int32))
+        def _bound(best_key, best_code):
+            b = jnp.max(best_key) | sl_mask
             return jnp.minimum((b + mask) & ~mask, done_th)
 
     if hbm:
@@ -170,12 +181,12 @@ def _kernel_one_tile(
     def cond(state):
         if hbm:
             return state[6]  # cur_valid: a fetched block awaits processing
-        keys, k_cur, best_t, best_code, bound = state
+        keys, k_cur, best_key, best_code, bound = state
         return (k_cur & ~mask) < bound
 
     def body(state):
         if hbm:
-            keys, k_cur, best_t, best_code, bound, slot, _valid = state
+            keys, k_cur, best_key, best_code, bound, slot, _valid = state
             cid = k_cur & mask
             # the block for `cid` was prefetched into `slot` last round;
             # pick + prefetch the NEXT block while this round's matmul
@@ -193,7 +204,7 @@ def _kernel_one_tile(
 
             b = b_scratch[slot]
         else:
-            keys, k_cur, best_t, best_code, bound = state
+            keys, k_cur, best_key, best_code, bound = state
             cid = k_cur & mask
             b = matb_ref[cid]  # (16, 4S)
         b_hi = b.astype(jnp.bfloat16)
@@ -217,33 +228,35 @@ def _kernel_one_tile(
         )
         inv_det = 1.0 / jnp.where(valid, det, 1.0)
         t = t_num * inv_det
-        valid = valid & (t > MIN_DIST) & (t < best_t[0][:, None])
 
-        t_masked = jnp.where(valid, t, _INF)
-        cand_t = jnp.min(t_masked, axis=1)  # (T,)
-        # first index achieving the min (min+iota instead of argmin — the
-        # reliably-lowered reduction pattern)
-        win_slot = jnp.min(
-            jnp.where(t_masked == cand_t[:, None], iota_s, n_s), axis=1
-        )
+        # pack (t, slot) into one sortable key; a single min-reduce yields
+        # the round winner's t and slot (vs best, carried in the same
+        # packed form — no elementwise t<best prefilter needed)
+        t_masked = jnp.where(valid & (t > MIN_DIST), t, _INF)
+        tkey = (
+            jax.lax.bitcast_convert_type(t_masked, jnp.int32) & ~sl_mask
+        ) | iota_s
+        cand = jnp.min(tkey, axis=1)  # (T,)
 
-        improved = cand_t < best_t[0]
-        best_t = jnp.where(improved, cand_t, best_t[0])[None, :]
-        # defer u/v/face: rounds only carry the winner's (cid, win_slot);
+        improved = cand < best_key[0]
+        best_key = jnp.where(improved, cand, best_key[0])[None, :]
+        # defer u/v/face: rounds only carry the winner's (cid, slot);
         # the wrapper re-derives u/v once per ray
         best_code = jnp.where(
-            improved, cid * n_s + win_slot, best_code[0]
+            improved, cid * n_s + (cand & sl_mask), best_code[0]
         )[None, :]
-        bound = _bound(best_t, best_code)
+        bound = _bound(best_key, best_code)
         if hbm:
-            return keys, k_nxt, best_t, best_code, bound, 1 - slot, nxt_valid
+            return keys, k_nxt, best_key, best_code, bound, 1 - slot, nxt_valid
         keys = jnp.where(keys == k_cur, jnp.int32(0x7FFFFFFF), keys)
-        return keys, jnp.min(keys), best_t, best_code, bound
+        return keys, jnp.min(keys), best_key, best_code, bound
 
-    best_t0 = t_max[None, :]
+    best_key0 = (
+        jax.lax.bitcast_convert_type(t_max[None, :], jnp.int32) & ~sl_mask
+    )
     code0 = jnp.full((1, t_dim), -1, jnp.int32)
-    bound0 = _bound(best_t0, code0)
-    base_init = (keys0, k0, best_t0, code0, bound0)
+    bound0 = _bound(best_key0, code0)
+    base_init = (keys0, k0, best_key0, code0, bound0)
     if hbm:
         # warm-up: prefetch the first block (when any work exists)
         valid0 = (k0 & ~mask) < bound0
@@ -253,10 +266,18 @@ def _kernel_one_tile(
             _dma(0, k0 & mask).start()
 
         out = jax.lax.while_loop(cond, body, base_init + (0, valid0))
-        best_t, best_code = out[2], out[3]
+        best_key, best_code = out[2], out[3]
     else:
-        _, _, best_t, best_code, _ = jax.lax.while_loop(cond, body, base_init)
-    out_t_ref[g] = best_t
+        _, _, best_key, best_code, _ = jax.lax.while_loop(
+            cond, body, base_init
+        )
+    # unpack: winners get t truncated to the key granularity; untouched
+    # lanes report their exact t_max (miss sentinel semantics preserved)
+    out_t_ref[g] = jnp.where(
+        best_code >= 0,
+        jax.lax.bitcast_convert_type(best_key & ~sl_mask, jnp.float32),
+        t_max[None, :],
+    )
     out_code_ref[g] = best_code
 
 
@@ -302,6 +323,9 @@ def _kernel_two_level(
 
     smask = (1 << sid_bits) - 1
     jmask = (1 << j_bits) - 1
+    # best is a packed (t, slot) int32 key — see _kernel_one_tile
+    sl_bits = max(1, (n_s - 1).bit_length())
+    sl_mask = (1 << sl_bits) - 1
     import numpy as _np
 
     inf_bits = int(_np.float32(_INF).view(_np.int32))
@@ -314,12 +338,14 @@ def _kernel_two_level(
     sk0 = jnp.min(skeys0)
 
     if any_hit:
-        def _bound_raw(best_t, best_code):
+        def _bound_raw(best_key, best_code):
             pending = jnp.where(best_code < 0, t_max[None, :], 0.0)
             return jnp.max(jax.lax.bitcast_convert_type(pending, jnp.int32))
     else:
-        def _bound_raw(best_t, best_code):
-            return jnp.max(jax.lax.bitcast_convert_type(best_t, jnp.int32))
+        def _bound_raw(best_key, best_code):
+            # `| sl_mask` restores the truncated LSBs to an upper bound
+            # of the true best t (conservative prune)
+            return jnp.max(best_key) | sl_mask
 
     def _bound_s(b):
         return jnp.minimum((b + smask) & ~smask, done_s)
@@ -336,7 +362,7 @@ def _kernel_two_level(
         return state[6]  # cur_valid
 
     def inner_body(state):
-        ckeys, ck_cur, best_t, best_code, bound, slot, _valid, sid = state
+        ckeys, ck_cur, best_key, best_code, bound, slot, _valid, sid = state
         j = ck_cur & jmask
         cid = sid * g + j
         _dma(slot, cid).wait()
@@ -369,26 +395,28 @@ def _kernel_two_level(
         )
         inv_det = 1.0 / jnp.where(valid, det, 1.0)
         t = t_num * inv_det
-        valid = valid & (t > MIN_DIST) & (t < best_t[0][:, None])
-        t_masked = jnp.where(valid, t, _INF)
-        cand_t = jnp.min(t_masked, axis=1)
-        win_slot = jnp.min(
-            jnp.where(t_masked == cand_t[:, None], iota_s, n_s), axis=1
-        )
-        improved = cand_t < best_t[0]
-        best_t = jnp.where(improved, cand_t, best_t[0])[None, :]
+        t_masked = jnp.where(valid & (t > MIN_DIST), t, _INF)
+        tkey = (
+            jax.lax.bitcast_convert_type(t_masked, jnp.int32) & ~sl_mask
+        ) | iota_s
+        cand = jnp.min(tkey, axis=1)
+        improved = cand < best_key[0]
+        best_key = jnp.where(improved, cand, best_key[0])[None, :]
         best_code = jnp.where(
-            improved, cid * n_s + win_slot, best_code[0]
+            improved, cid * n_s + (cand & sl_mask), best_code[0]
         )[None, :]
-        bound = _bound_raw(best_t, best_code)
-        return ckeys, ck_nxt, best_t, best_code, bound, 1 - slot, nxt_valid, sid
+        bound = _bound_raw(best_key, best_code)
+        return (
+            ckeys, ck_nxt, best_key, best_code, bound, 1 - slot, nxt_valid,
+            sid,
+        )
 
     def outer_cond(state):
-        skeys, sk_cur, best_t, best_code, bound = state
+        skeys, sk_cur, best_key, best_code, bound = state
         return (sk_cur & ~smask) < _bound_s(bound)
 
     def outer_body(state):
-        skeys, sk_cur, best_t, best_code, bound = state
+        skeys, sk_cur, best_key, best_code, bound = state
         sid = sk_cur & smask
         cb = cbox_ref[sid]  # (8, G)
         near = jnp.full((t_dim, g), -_INF, jnp.float32)
@@ -418,19 +446,25 @@ def _kernel_two_level(
         inner = jax.lax.while_loop(
             inner_cond,
             inner_body,
-            (ckeys, ck0, best_t, best_code, bound, 0, cvalid0, sid),
+            (ckeys, ck0, best_key, best_code, bound, 0, cvalid0, sid),
         )
-        best_t, best_code, bound = inner[2], inner[3], inner[4]
+        best_key, best_code, bound = inner[2], inner[3], inner[4]
         skeys = jnp.where(skeys == sk_cur, jnp.int32(0x7FFFFFFF), skeys)
-        return skeys, jnp.min(skeys), best_t, best_code, bound
+        return skeys, jnp.min(skeys), best_key, best_code, bound
 
-    best_t0 = t_max[None, :]
-    code0 = jnp.full((1, t_dim), -1, jnp.int32)
-    bound0 = _bound_raw(best_t0, code0)
-    out = jax.lax.while_loop(
-        outer_cond, outer_body, (skeys0, sk0, best_t0, code0, bound0)
+    best_key0 = (
+        jax.lax.bitcast_convert_type(t_max[None, :], jnp.int32) & ~sl_mask
     )
-    out_t_ref[0] = out[2]
+    code0 = jnp.full((1, t_dim), -1, jnp.int32)
+    bound0 = _bound_raw(best_key0, code0)
+    out = jax.lax.while_loop(
+        outer_cond, outer_body, (skeys0, sk0, best_key0, code0, bound0)
+    )
+    out_t_ref[0] = jnp.where(
+        out[3] >= 0,
+        jax.lax.bitcast_convert_type(out[2] & ~sl_mask, jnp.float32),
+        t_max[None, :],
+    )
     out_code_ref[0] = out[3]
 
 

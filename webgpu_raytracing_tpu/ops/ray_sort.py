@@ -97,8 +97,14 @@ def sorted_trace(trace_fn, o, d, t_max, tables, active=None):
     the nearest-cluster key; every (R,)-leading leaf of the result is
     scattered back to original ray order. ``lax.sort`` is stable, so the
     permutation (and the traced image) is deterministic. The ``active``
-    mask is folded into ``t_max`` (dead lane ⇒ empty interval) so only
-    three gathers ride the permutation."""
+    mask is folded into ``t_max`` (dead lane ⇒ empty interval).
+
+    Per-lane HBM gathers/scatters are the overhead that nearly killed
+    this design (see module docstring), and their cost is dominated by
+    the ROW count, not the byte count — so both permutation legs are
+    packed into a single wide row op: rays ride one (R, 7) gather in
+    (o | d | t_max), and the result pytree's (R,) leaves are bitcast to
+    i32, stacked, and ride one (R, L) scatter back out."""
     r = o.shape[0]
     if active is not None:
         t_max = jnp.where(active, t_max, 0.0)
@@ -107,13 +113,40 @@ def sorted_trace(trace_fn, o, d, t_max, tables, active=None):
     key = nearest_cluster_key(o, d, t_max, tables.clusters.sort_box)
     rid = jnp.arange(r, dtype=jnp.int32)
     _, rid_s = jax.lax.sort((key, rid), num_keys=1)
+    packed = jnp.concatenate([o, d, t_max[:, None]], axis=1)  # (R, 7)
+    packed_s = jnp.take(packed, rid_s, axis=0)
     res_s = trace_fn(
-        jnp.take(o, rid_s, axis=0),
-        jnp.take(d, rid_s, axis=0),
-        jnp.take(t_max, rid_s),
+        packed_s[:, 0:3],
+        packed_s[:, 3:6],
+        packed_s[:, 6],
         tables,
         None,
     )
+
+    leaves, treedef = jax.tree.flatten(res_s)
+    leaves = [jnp.asarray(x) for x in leaves]
+    packable = len(leaves) > 1 and all(
+        x.shape == (r,) and x.dtype.itemsize == 4 for x in leaves
+    )
+    if packable:
+        cols = [
+            x
+            if x.dtype == jnp.int32
+            else jax.lax.bitcast_convert_type(x, jnp.int32)
+            for x in leaves
+        ]
+        out = (
+            jnp.zeros((r, len(cols)), jnp.int32)
+            .at[rid_s]
+            .set(jnp.stack(cols, axis=1))
+        )
+        unsorted = [
+            out[:, i]
+            if x.dtype == jnp.int32
+            else jax.lax.bitcast_convert_type(out[:, i], x.dtype)
+            for i, x in enumerate(leaves)
+        ]
+        return jax.tree.unflatten(treedef, unsorted)
 
     def unsort(x):
         x = jnp.asarray(x)
