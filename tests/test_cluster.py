@@ -209,6 +209,28 @@ def test_sorted_trace_matches_plain(rng_np):
     )
 
 
+def test_sorted_trace_bool_result_matches_plain(rng_np):
+    """A single bool result leaf (the shadow-ray path) takes the
+    non-packed unsort fallback — must still be a pure reordering."""
+    from webgpu_raytracing_tpu.ops.cluster_trace import trace_any_clustered
+    from webgpu_raytracing_tpu.ops.ray_sort import sorted_trace
+
+    scene = _scene()
+    tables = scene.tables()
+    n = 256
+    o = rng_np.uniform(-3, 3, (n, 3)).astype(np.float32)
+    d = rng_np.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmax = jnp.full((n,), 2.5, jnp.float32)
+
+    trace = lambda a, b, c, t, act: trace_any_clustered(
+        a, b, c, t, act, tile=64
+    )
+    plain = trace(jnp.asarray(o), jnp.asarray(d), tmax, tables, None)
+    srt = sorted_trace(trace, jnp.asarray(o), jnp.asarray(d), tmax, tables)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(srt))
+
+
 def test_clustered_any_hit_matches_threaded(rng_np):
     """The XLA clustered any-hit early-exit (rounds stop once every live
     ray has some hit) must agree with the threaded any-hit oracle."""
