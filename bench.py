@@ -80,7 +80,7 @@ def main():
         float(rays)
 
     n_frames = 4
-    total_rays = 0.0
+    total_rays_dev = jnp.zeros((), jnp.float32)
     t0 = time.perf_counter()
     for k in range(n_frames):
         buffers, rays = render_frame(
@@ -90,8 +90,12 @@ def main():
             FrameInputs.simple(view, 2654435761 * (k + 2) % (2**32), k + 1),
             settings,
         )
-        total_rays += float(rays)  # forces sync per frame
-    jax.block_until_ready(buffers.image)
+        # accumulate on-device: no per-frame host sync, so frame k+1's
+        # dispatch pipelines behind frame k through the tunnel
+        total_rays_dev = total_rays_dev + rays
+    # single host readback ends the timed region (block_until_ready does
+    # not block through the tunnel — see CLAUDE.md)
+    total_rays = float(total_rays_dev)
     dt = time.perf_counter() - t0
 
     mrays = total_rays / dt / 1e6
