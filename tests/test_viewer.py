@@ -83,5 +83,29 @@ def test_viewer_serves_and_applies_input():
     _post(base + "/input", {"type": "key", "key": "w", "down": True})
     _post(base + "/input", {"type": "key", "key": "w", "down": False})
     _post(base + "/input", {"type": "blur"})
+
+    # settings panel: GET current values, POST changes (numeric + enum),
+    # reject junk — the UI.tsx numeric/select-control analog
+    spec = json.loads(_get(base + "/settings.json"))
+    assert "fov" in spec and isinstance(spec["fov"]["value"], float)
+    assert "options" in spec["tonemapping"]
+    _post(base + "/input", {"type": "set", "name": "fov", "value": 1.25})
+    _post(
+        base + "/input",
+        {"type": "set", "name": "tonemapping", "value": "aces"},
+    )
+    _post(base + "/input", {"type": "set", "name": "fov", "value": "junk"})
+    _post(base + "/input", {"type": "set", "name": "width", "value": 1})
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if abs(renderer.settings.fov - 1.25) < 1e-6 and (
+            renderer.settings.tonemapping.name == "ACES"
+        ):
+            break
+        time.sleep(0.2)
+    assert abs(renderer.settings.fov - 1.25) < 1e-6
+    assert renderer.settings.tonemapping.name == "ACES"
+    assert renderer.settings.width == 32  # non-panel field untouched
+
     t.join(timeout=120)
     assert not t.is_alive()

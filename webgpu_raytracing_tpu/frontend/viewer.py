@@ -42,9 +42,14 @@ _PAGE = """<!doctype html>
  #hud{padding:6px;white-space:pre}
  img{image-rendering:pixelated;outline:1px solid #333;cursor:crosshair}
  #help{color:#777;padding:4px}
+ #panel{display:flex;flex-wrap:wrap;gap:4px;max-width:680px;padding:6px}
+ #panel label{display:flex;gap:3px;align-items:center;color:#999}
+ #panel input,#panel select{width:70px;background:#222;color:#ddd;
+      border:1px solid #444;font:11px monospace}
 </style></head><body>
 <div id="hud">connecting…</div>
 <img id="view" width=WIDTH height=HEIGHT draggable=false>
+<div id="panel"></div>
 <div id="help">drag = look · WASD/arrows = move · Space/C = up/down ·
 Shift = run · B wireframe · V view · P projection · T tonemap · R reset</div>
 <script>
@@ -77,6 +82,37 @@ window.onkeydown = e => {
 };
 window.onkeyup = e => post({type:'key', key: e.key, down: false});
 window.onblur = () => post({type:'blur'});
+// settings panel (the reference's UI controls, UI.tsx:44-187)
+(async () => {
+  const s = await (await fetch('/settings.json')).json();
+  const panel = document.getElementById('panel');
+  for (const [name, spec] of Object.entries(s)) {
+    const label = document.createElement('label');
+    label.textContent = name.replaceAll('_', ' ');
+    let inp;
+    if (spec.options) {
+      inp = document.createElement('select');
+      for (const o of spec.options) {
+        const opt = document.createElement('option');
+        opt.value = o; opt.textContent = o.toLowerCase();
+        opt.selected = o === spec.value;
+        inp.appendChild(opt);
+      }
+      inp.onchange = () => post({type:'set', name, value: inp.value});
+    } else if (typeof spec.value === 'boolean') {
+      inp = document.createElement('input');
+      inp.type = 'checkbox'; inp.checked = spec.value;
+      inp.onchange = () => post({type:'set', name, value: inp.checked});
+    } else {
+      inp = document.createElement('input');
+      inp.type = 'number'; inp.value = spec.value;
+      inp.step = Number.isInteger(spec.value) ? 1 : 0.1;
+      inp.onchange = () => post({type:'set', name, value: +inp.value});
+    }
+    label.appendChild(inp);
+    panel.appendChild(label);
+  }
+})();
 </script></body></html>
 """
 
@@ -86,6 +122,7 @@ class _Shared:
         self.lock = threading.Lock()
         self.png = b""
         self.stats = {}
+        self.settings_spec = {}
         self.inputs: queue.Queue = queue.Queue()
 
 
@@ -126,6 +163,10 @@ def _make_handler(shared: _Shared, width: int, height: int, scale: int):
                 with shared.lock:
                     body = json.dumps(shared.stats).encode()
                 self._send(200, "application/json", body)
+            elif self.path.startswith("/settings.json"):
+                with shared.lock:
+                    body = json.dumps(shared.settings_spec).encode()
+                self._send(200, "application/json", body)
             else:
                 self._send(200, "text/html", page)
 
@@ -146,6 +187,45 @@ def _make_handler(shared: _Shared, width: int, height: int, scale: int):
 _BLIT_CYCLE = list(BlitView)
 _PROJ_CYCLE = list(ProjectionType)
 _TONE_CYCLE = list(Tonemapping)
+
+# The settings the reference UI panel exposes (UI.tsx:44-187), by
+# RenderSettings field name — the viewer's numeric/select "panel" is a
+# generic POST /input {"type":"set","name":…,"value":…}. Enum fields
+# accept the enum's value name (case-insensitive); everything else is
+# coerced by the dataclass field's current type.
+_PANEL_FIELDS = (
+    "fov",
+    "fov_orientation",
+    "focus_distance",
+    "circle_of_confusion",
+    "panini_distance",
+    "vertical_compression",
+    "projection_type",
+    "lens_shape",
+    "shading_type",
+    "tonemapping",
+    "exposure",
+    "gamma",
+    "blit_view",
+    "reprojection_rate",
+    "jitter_strength",
+    "bilateral_filter",
+    "sample_count",
+    "bounces_depth",
+    "debug_bvh",
+    "debug_reprojection",
+)
+
+
+def _coerce_setting(current, value):
+    """Coerce a JSON value onto the type of the current field value."""
+    if isinstance(current, bool):
+        return bool(value)
+    if hasattr(type(current), "__members__"):  # Enum
+        if isinstance(value, str):
+            return type(current)[value.upper()]
+        return type(current)(value)
+    return type(current)(value)
 
 
 def _apply_inputs(renderer, controls: Controls, shared: _Shared) -> None:
@@ -193,8 +273,37 @@ def _apply_inputs(renderer, controls: Controls, shared: _Shared) -> None:
                     controls.press(key)
             else:
                 controls.release(key)
+        elif t == "set":
+            # UI-panel analog (UI.tsx numeric/select controls): any
+            # whitelisted RenderSettings field; the Renderer resets
+            # accumulation and retraces, the reference's reactive
+            # pipeline-recompile path (gpu.ts:512-525)
+            name = str(ev.get("name", ""))
+            if name in _PANEL_FIELDS:
+                try:
+                    cur = getattr(renderer.settings, name)
+                    renderer.update_settings(
+                        **{name: _coerce_setting(cur, ev.get("value"))}
+                    )
+                except (KeyError, TypeError, ValueError):
+                    pass  # bad value from the page: ignore, keep rendering
         elif t == "blur":
             controls.release_all()
+
+
+def _settings_spec(settings) -> dict:
+    """Current panel-field values (+ enum options) for /settings.json."""
+    spec = {}
+    for name in _PANEL_FIELDS:
+        v = getattr(settings, name)
+        if hasattr(type(v), "__members__"):
+            spec[name] = {
+                "value": v.name,
+                "options": [m for m in type(v).__members__],
+            }
+        else:
+            spec[name] = {"value": v}
+    return spec
 
 
 def serve(
@@ -215,6 +324,7 @@ def serve(
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
     controls = Controls(renderer.camera)
+    shared.settings_spec = _settings_spec(renderer.settings)
     print(f"live viewer: http://{host}:{httpd.server_address[1]}/")
 
     frames = 0
@@ -237,6 +347,7 @@ def serve(
             )
             with shared.lock:
                 shared.png = png
+                shared.settings_spec = _settings_spec(renderer.settings)
                 shared.stats = {
                     "counter": renderer.counter,
                     "spp": spp,
