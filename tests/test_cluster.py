@@ -278,6 +278,41 @@ def test_pallas_any_hit_interpret_matches_threaded(rng_np):
         )
 
 
+def test_pallas_approx_div_matches(rng_np):
+    """approx_div=True uses a fast reciprocal only for the in-round
+    winner pick; faces must agree except possible near-ties and the
+    reported t/u/v stay exact (re-derived per winner)."""
+    from webgpu_raytracing_tpu.ops.cluster_pallas import (
+        trace_closest_clustered_pallas,
+    )
+
+    scene = _scene()
+    tables = scene.tables()
+    n = 256
+    o = rng_np.uniform(-3, 3, (n, 3)).astype(np.float32)
+    d = rng_np.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmax = jnp.full((n,), F32_MAX, jnp.float32)
+    base = trace_closest_clustered_pallas(
+        jnp.asarray(o), jnp.asarray(d), tmax, tables, tile=128,
+        interpret=True,
+    )
+    apx = trace_closest_clustered_pallas(
+        jnp.asarray(o), jnp.asarray(d), tmax, tables, tile=128,
+        interpret=True, approx_div=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(apx.face) >= 0, np.asarray(base.face) >= 0
+    )
+    both = (np.asarray(apx.face) >= 0) & (
+        np.asarray(apx.face) == np.asarray(base.face)
+    )
+    assert both.sum() > 0.99 * (np.asarray(base.face) >= 0).sum()
+    np.testing.assert_allclose(
+        np.asarray(apx.t)[both], np.asarray(base.t)[both], rtol=1e-6
+    )
+
+
 def test_pallas_tiles_per_step_bit_identical(rng_np):
     """tiles_per_step > 1 (multi-tile grid steps) is a pure scheduling
     change — results must be bit-identical to tiles_per_step=1, including

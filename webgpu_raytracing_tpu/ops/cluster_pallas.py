@@ -57,6 +57,7 @@ def _kernel(
     any_hit: bool = False,
     hbm: bool = False,
     in_near: bool = False,
+    approx_div: bool = False,
 ):
     # Each grid step owns `G` ray tiles, processed back-to-back by the same
     # per-tile round loop — G > 1 amortizes the fixed per-grid-step cost
@@ -65,7 +66,7 @@ def _kernel(
         _kernel_one_tile(
             a_ref, near_ref, matb_ref, out_t_ref, out_code_ref, scratch,
             g=g, n_s=n_s, cid_bits=cid_bits, any_hit=any_hit, hbm=hbm,
-            in_near=in_near,
+            in_near=in_near, approx_div=approx_div,
         )
 
 
@@ -78,6 +79,7 @@ def _kernel_one_tile(
     any_hit: bool,
     hbm: bool,
     in_near: bool,
+    approx_div: bool,
 ):
     a = a_ref[g]  # (T, 16)
     t_dim = a.shape[0]
@@ -226,7 +228,15 @@ def _kernel_one_tile(
             & (v_num >= 0.0)
             & (u_num + v_num <= det)
         )
-        inv_det = 1.0 / jnp.where(valid, det, 1.0)
+        # the (T, S) division is a per-round VPU cost; with approx_div the
+        # pick runs on a fast approximate reciprocal (~2^-12 relative) —
+        # output t/u/v stay exact (re-derived per winner in rederive_uv),
+        # only near-tie (<~2.4e-4 relative) winner decisions can flip
+        det_safe = jnp.where(valid, det, 1.0)
+        if approx_div:
+            inv_det = pl.reciprocal(det_safe, approx=True)
+        else:
+            inv_det = 1.0 / det_safe
         t = t_num * inv_det
 
         # pack (t, slot) into one sortable key; a single min-reduce yields
@@ -296,6 +306,7 @@ def _kernel_two_level(
     sid_bits: int,
     j_bits: int,
     any_hit: bool = False,
+    approx_div: bool = False,
 ):
     """Two-level variant of :func:`_kernel` for large scenes: an outer
     near-ordered loop over supercluster boxes (tested at the XLA level)
@@ -393,7 +404,15 @@ def _kernel_two_level(
             & (v_num >= 0.0)
             & (u_num + v_num <= det)
         )
-        inv_det = 1.0 / jnp.where(valid, det, 1.0)
+        # the (T, S) division is a per-round VPU cost; with approx_div the
+        # pick runs on a fast approximate reciprocal (~2^-12 relative) —
+        # output t/u/v stay exact (re-derived per winner in rederive_uv),
+        # only near-tie (<~2.4e-4 relative) winner decisions can flip
+        det_safe = jnp.where(valid, det, 1.0)
+        if approx_div:
+            inv_det = pl.reciprocal(det_safe, approx=True)
+        else:
+            inv_det = 1.0 / det_safe
         t = t_num * inv_det
         t_masked = jnp.where(valid & (t > MIN_DIST), t, _INF)
         tkey = (
@@ -472,7 +491,7 @@ def _kernel_two_level(
     jax.jit,
     static_argnames=(
         "tile", "interpret", "any_hit", "derive_uv", "kernel_near",
-        "tiles_per_step",
+        "tiles_per_step", "approx_div",
     ),
 )
 def trace_closest_clustered_pallas(
@@ -487,6 +506,7 @@ def trace_closest_clustered_pallas(
     derive_uv: bool = True,
     kernel_near: bool = False,
     tiles_per_step: int = 1,
+    approx_div: bool = False,
 ) -> Hit:
     """Drop-in closest-hit using the Pallas tile kernel. With ``any_hit``
     the per-tile rounds stop as soon as every live ray has found *some*
@@ -594,6 +614,7 @@ def trace_closest_clustered_pallas(
             sid_bits=cid_bits,
             j_bits=max(1, (g - 1).bit_length()),
             any_hit=any_hit,
+            approx_div=approx_div,
         )
         best_t, best_code = pl.pallas_call(
             kernel,
@@ -617,7 +638,7 @@ def trace_closest_clustered_pallas(
     else:
         kernel = functools.partial(
             _kernel, n_s=s, cid_bits=cid_bits, any_hit=any_hit, hbm=hbm,
-            in_near=in_near,
+            in_near=in_near, approx_div=approx_div,
         )
         if in_near:
             near_spec = pl.BlockSpec(
@@ -670,10 +691,14 @@ def rederive_uv(
     face: jnp.ndarray,
     tables,
 ) -> Hit:
-    """Barycentrics for the winning triangle — UNMASKED classic
-    Möller–Trumbore algebra (not ray_triangle, whose validity gates
-    could zero u/v when the exact test disagrees with the kernel's
-    bf16x3 decision on a grazing ray; the kernel's verdict stands)."""
+    """Barycentrics AND exact t for the winning triangle — UNMASKED
+    classic Möller–Trumbore algebra (not ray_triangle, whose validity
+    gates could zero u/v when the exact test disagrees with the kernel's
+    bf16x3 decision on a grazing ray; the kernel's verdict stands).
+    Recomputing t here makes the reported hit distance exact f32
+    regardless of the kernel's in-round representation (packed-key slot
+    truncation, optional approx reciprocal); misses keep the incoming
+    t (the t_max sentinel)."""
     hit_mask = face >= 0
     tri = jnp.take(tables.tri, jnp.maximum(face, 0), axis=0)
     p0, e1, e2 = tri[:, 0:3], tri[:, 3:6], tri[:, 6:9]
@@ -684,8 +709,9 @@ def rederive_uv(
     u = jnp.sum(svec * hvec, axis=-1) * inv_det
     qvec = jnp.cross(svec, e1)
     v = jnp.sum(d * qvec, axis=-1) * inv_det
+    t_exact = jnp.sum(e2 * qvec, axis=-1) * inv_det
     return Hit(
-        t=t,
+        t=jnp.where(hit_mask, t_exact, t),
         u=jnp.where(hit_mask, u, 0.0),
         v=jnp.where(hit_mask, v, 0.0),
         face=face,
