@@ -85,6 +85,31 @@ def test_two_level_interpret_matches_threaded(rng_np):
     )
 
 
+def test_two_level_approx_div_matches_threaded(rng_np):
+    """approx_div plumbing on the two-level kernel: same hit decisions
+    and exact re-derived t (interpret mode)."""
+    scene = _scene()
+    t1 = scene.tables()
+    t2 = scene.tables(cluster_size=16, group_size=4)
+    n = 256
+    o = rng_np.uniform(-3, 3, (n, 3)).astype(np.float32)
+    o[:, 2] = rng_np.uniform(0, 2, n)
+    d = rng_np.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmax = jnp.full((n,), F32_MAX, jnp.float32)
+    ref = trace_closest(jnp.asarray(o), jnp.asarray(d), tmax, t1)
+    pk = trace_closest_clustered_pallas(
+        jnp.asarray(o), jnp.asarray(d), tmax, t2, tile=128,
+        interpret=True, approx_div=True,
+    )
+    hits = np.asarray(ref.face) >= 0
+    np.testing.assert_array_equal(np.asarray(pk.face) >= 0, hits)
+    np.testing.assert_allclose(
+        np.asarray(pk.t)[hits], np.asarray(ref.t)[hits], rtol=2e-4,
+        atol=1e-5,
+    )
+
+
 def test_two_level_any_hit_interpret(rng_np):
     scene = _scene()
     t1 = scene.tables()
