@@ -46,7 +46,7 @@ def test_viewer_serves_and_applies_input():
     renderer = _tiny_renderer()
     t = threading.Thread(
         target=serve,
-        kwargs=dict(renderer=renderer, port=18787, max_frames=60),
+        kwargs=dict(renderer=renderer, port=18787, max_frames=500),
         daemon=True,
     )
     t.start()
@@ -96,6 +96,16 @@ def test_viewer_serves_and_applies_input():
     )
     _post(base + "/input", {"type": "set", "name": "fov", "value": "junk"})
     _post(base + "/input", {"type": "set", "name": "width", "value": 1})
+    # truthy junk must NOT flip a boolean; absurd floats must not kill
+    # the loop (json parses 1e999 as Infinity -> OverflowError path)
+    _post(
+        base + "/input",
+        {"type": "set", "name": "bilateral_filter", "value": "false"},
+    )
+    _post(
+        base + "/input",
+        {"type": "set", "name": "sample_count", "value": 1e999},
+    )
     deadline = time.time() + 30
     while time.time() < deadline:
         if abs(renderer.settings.fov - 1.25) < 1e-6 and (
@@ -106,6 +116,8 @@ def test_viewer_serves_and_applies_input():
     assert abs(renderer.settings.fov - 1.25) < 1e-6
     assert renderer.settings.tonemapping.name == "ACES"
     assert renderer.settings.width == 32  # non-panel field untouched
+    assert renderer.settings.bilateral_filter is False  # junk rejected
+    assert renderer.settings.sample_count == 1  # overflow ignored
 
     t.join(timeout=120)
     assert not t.is_alive()

@@ -25,7 +25,7 @@ from webgpu_raytracing_tpu.models.scene import load_scene
 from webgpu_raytracing_tpu.renderer import Renderer
 from webgpu_raytracing_tpu.validation.wgsl_sim import WGSLReference
 
-from test_reference_parity import synthetic_equirect
+from test_reference_parity import _rmse as rmse_ref, synthetic_equirect
 
 SIZE = 48
 FRAMES = 32  # 2 spp per frame -> 64 spp total
@@ -33,8 +33,7 @@ SEEDS = [(12345 + 2654435761 * k) % (2**31) for k in range(FRAMES)]
 CHECKPOINTS = (2, 4, 8, 16, 32)  # frames -> spp = 2x
 
 
-def rmse(a, b):
-    return float(np.sqrt(np.mean((a - b) ** 2)))
+rmse = rmse_ref  # single-source the parity metric with the tests
 
 
 def norm(img):

@@ -218,9 +218,14 @@ _PANEL_FIELDS = (
 
 
 def _coerce_setting(current, value):
-    """Coerce a JSON value onto the type of the current field value."""
+    """Coerce a JSON value onto the type of the current field value.
+    Raises on anything that doesn't cleanly coerce (the caller ignores
+    the event): booleans accept only JSON true/false — bool("false")
+    would silently enable a setting the page asked to disable."""
     if isinstance(current, bool):
-        return bool(value)
+        if not isinstance(value, bool):
+            raise ValueError(f"expected bool, got {value!r}")
+        return value
     if hasattr(type(current), "__members__"):  # Enum
         if isinstance(value, str):
             return type(current)[value.upper()]
@@ -285,7 +290,7 @@ def _apply_inputs(renderer, controls: Controls, shared: _Shared) -> None:
                     renderer.update_settings(
                         **{name: _coerce_setting(cur, ev.get("value"))}
                     )
-                except (KeyError, TypeError, ValueError):
+                except (KeyError, TypeError, ValueError, OverflowError):
                     pass  # bad value from the page: ignore, keep rendering
         elif t == "blur":
             controls.release_all()

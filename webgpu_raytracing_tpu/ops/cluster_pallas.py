@@ -44,6 +44,63 @@ _INF = float(F32_MAX)
 _NEAR_CHUNK = 128  # rays per in-kernel box-test chunk (bounds VMEM temps)
 
 
+
+def _round_pick(
+    out, best_key, best_code, cid, *, n_s, iota_s, sl_mask, approx_div
+):
+    """Shared per-round epilogue of both kernels: validity gates, the
+    (approx-)reciprocal t, and the packed (t | slot) min-pick that
+    updates the per-ray best key/code. Keeping this in one place keeps
+    the single- and two-level kernels' epilogues provably identical.
+
+    Note the packed compare narrows acceptance by one truncation bucket
+    at the t_max boundary: a hit whose t falls in the same 2^-sl_bits
+    bucket as t_max (init best) reports as a miss — for shadow rays an
+    occluder within ~2^-16 relative of the light's own distance, for
+    predictor-bounded rays far inside the 1.05x margin. Both are
+    knife-edge cases the exact compare resolved arbitrarily anyway."""
+    det = out[:, 0 * n_s : 1 * n_s]
+    t_num = out[:, 1 * n_s : 2 * n_s]
+    u_num = out[:, 2 * n_s : 3 * n_s]
+    v_num = out[:, 3 * n_s : 4 * n_s]
+
+    valid = (
+        (det >= _EPS2)
+        & (u_num >= 0.0)
+        & (u_num <= det)
+        & (v_num >= 0.0)
+        & (u_num + v_num <= det)
+    )
+    # the (T, S) division is a per-round VPU cost; with approx_div the
+    # pick runs on a fast approximate reciprocal (~2^-12 relative) —
+    # output t/u/v stay exact (re-derived per winner in rederive_uv),
+    # only near-tie (<~2.4e-4 relative) winner decisions can flip
+    det_safe = jnp.where(valid, det, 1.0)
+    if approx_div:
+        inv_det = pl.reciprocal(det_safe, approx=True)
+    else:
+        inv_det = 1.0 / det_safe
+    t = t_num * inv_det
+
+    # pack (t, slot) into one sortable key; a single min-reduce yields
+    # the round winner's t and slot (vs best, carried in the same
+    # packed form — no elementwise t<best prefilter needed)
+    t_masked = jnp.where(valid & (t > MIN_DIST), t, _INF)
+    tkey = (
+        jax.lax.bitcast_convert_type(t_masked, jnp.int32) & ~sl_mask
+    ) | iota_s
+    cand = jnp.min(tkey, axis=1)  # (T,)
+
+    improved = cand < best_key[0]
+    best_key = jnp.where(improved, cand, best_key[0])[None, :]
+    # defer u/v/face: rounds only carry the winner's (cid, slot);
+    # the wrapper re-derives u/v once per ray
+    best_code = jnp.where(
+        improved, cid * n_s + (cand & sl_mask), best_code[0]
+    )[None, :]
+    return best_key, best_code
+
+
 def _kernel(
     a_ref,  # (G, T, 16) ray blocks: [o, w, d, 1, inv_d, t_max, pad, pad]
     near_ref,  # (G, 1, C) tile nears (XLA) — or (1, 8, C) transposed
@@ -147,7 +204,9 @@ def _kernel_one_tile(
     # equality-probe + where + second reduction of an argmin (and the
     # elementwise t<best prefilter) — the round epilogue is the serial
     # hot spot. Cost: t is truncated DOWN by <= 2^-16 relative (far below
-    # f32 intersection noise; u/v are re-derived exactly from the face).
+    # f32 intersection noise; u/v/t are re-derived exactly from the face),
+    # and acceptance narrows by one truncation bucket at the t_max
+    # boundary (see _round_pick's docstring).
     sl_bits = max(1, (n_s - 1).bit_length())
     sl_mask = (1 << sl_bits) - 1
 
@@ -216,45 +275,10 @@ def _kernel_one_tile(
             + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
             + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
         )
-        det = out[:, 0 * n_s : 1 * n_s]
-        t_num = out[:, 1 * n_s : 2 * n_s]
-        u_num = out[:, 2 * n_s : 3 * n_s]
-        v_num = out[:, 3 * n_s : 4 * n_s]
-
-        valid = (
-            (det >= _EPS2)
-            & (u_num >= 0.0)
-            & (u_num <= det)
-            & (v_num >= 0.0)
-            & (u_num + v_num <= det)
+        best_key, best_code = _round_pick(
+            out, best_key, best_code, cid,
+            n_s=n_s, iota_s=iota_s, sl_mask=sl_mask, approx_div=approx_div,
         )
-        # the (T, S) division is a per-round VPU cost; with approx_div the
-        # pick runs on a fast approximate reciprocal (~2^-12 relative) —
-        # output t/u/v stay exact (re-derived per winner in rederive_uv),
-        # only near-tie (<~2.4e-4 relative) winner decisions can flip
-        det_safe = jnp.where(valid, det, 1.0)
-        if approx_div:
-            inv_det = pl.reciprocal(det_safe, approx=True)
-        else:
-            inv_det = 1.0 / det_safe
-        t = t_num * inv_det
-
-        # pack (t, slot) into one sortable key; a single min-reduce yields
-        # the round winner's t and slot (vs best, carried in the same
-        # packed form — no elementwise t<best prefilter needed)
-        t_masked = jnp.where(valid & (t > MIN_DIST), t, _INF)
-        tkey = (
-            jax.lax.bitcast_convert_type(t_masked, jnp.int32) & ~sl_mask
-        ) | iota_s
-        cand = jnp.min(tkey, axis=1)  # (T,)
-
-        improved = cand < best_key[0]
-        best_key = jnp.where(improved, cand, best_key[0])[None, :]
-        # defer u/v/face: rounds only carry the winner's (cid, slot);
-        # the wrapper re-derives u/v once per ray
-        best_code = jnp.where(
-            improved, cid * n_s + (cand & sl_mask), best_code[0]
-        )[None, :]
         bound = _bound(best_key, best_code)
         if hbm:
             return keys, k_nxt, best_key, best_code, bound, 1 - slot, nxt_valid
@@ -393,37 +417,10 @@ def _kernel_two_level(
             + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
             + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
         )
-        det = out[:, 0 * n_s : 1 * n_s]
-        t_num = out[:, 1 * n_s : 2 * n_s]
-        u_num = out[:, 2 * n_s : 3 * n_s]
-        v_num = out[:, 3 * n_s : 4 * n_s]
-        valid = (
-            (det >= _EPS2)
-            & (u_num >= 0.0)
-            & (u_num <= det)
-            & (v_num >= 0.0)
-            & (u_num + v_num <= det)
+        best_key, best_code = _round_pick(
+            out, best_key, best_code, cid,
+            n_s=n_s, iota_s=iota_s, sl_mask=sl_mask, approx_div=approx_div,
         )
-        # the (T, S) division is a per-round VPU cost; with approx_div the
-        # pick runs on a fast approximate reciprocal (~2^-12 relative) —
-        # output t/u/v stay exact (re-derived per winner in rederive_uv),
-        # only near-tie (<~2.4e-4 relative) winner decisions can flip
-        det_safe = jnp.where(valid, det, 1.0)
-        if approx_div:
-            inv_det = pl.reciprocal(det_safe, approx=True)
-        else:
-            inv_det = 1.0 / det_safe
-        t = t_num * inv_det
-        t_masked = jnp.where(valid & (t > MIN_DIST), t, _INF)
-        tkey = (
-            jax.lax.bitcast_convert_type(t_masked, jnp.int32) & ~sl_mask
-        ) | iota_s
-        cand = jnp.min(tkey, axis=1)
-        improved = cand < best_key[0]
-        best_key = jnp.where(improved, cand, best_key[0])[None, :]
-        best_code = jnp.where(
-            improved, cid * n_s + (cand & sl_mask), best_code[0]
-        )[None, :]
         bound = _bound_raw(best_key, best_code)
         return (
             ckeys, ck_nxt, best_key, best_code, bound, 1 - slot, nxt_valid,
