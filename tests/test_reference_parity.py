@@ -94,6 +94,58 @@ def test_live_sim_vs_renderer_rmse(env):
     assert rmse <= 1e-2, f"cross-implementation RMSE {rmse}"
 
 
+@pytest.mark.parametrize(
+    "mode",
+    [
+        {"projection_type": "PERSPECTIVE"},
+        {"projection_type": "FISHEYE"},
+        {"projection_type": "ORTHOGRAPHIC"},
+        {"circle_of_confusion": 0.15, "focus_distance": 3.0},
+    ],
+    ids=["pinhole", "fisheye", "ortho", "thin-lens"],
+)
+def test_live_sim_vs_renderer_rmse_modes(env, mode):
+    """Cross-implementation parity beyond the default camera: each
+    projection (render.ts:653-729) and the thin-lens DoF path
+    (render.ts:695-702, 740-747) against the WGSL-semantics simulator."""
+    from webgpu_raytracing_tpu.config import ProjectionType
+    from webgpu_raytracing_tpu.validation.wgsl_sim import WGSLReference
+
+    kw = dict(mode)
+    if "projection_type" in kw:
+        kw["projection_type"] = ProjectionType[kw["projection_type"]]
+    size, seeds = 12, [4242 + 17 * k for k in range(4)]
+    settings = RenderSettings(
+        width=size, height=size, environment="equirect",
+        sample_count=1, bounces_depth=4, **kw,
+    )
+    scene = load_scene(OBJ, MTL)
+    sim = WGSLReference(scene, settings, env)
+    r = Renderer(scene, settings, env_data=env)
+    for seed in seeds:
+        sim.step(seed, Camera().view_matrix())
+        r.step(seed=seed)
+    ours = np.asarray(r.buffers.image)
+    np.testing.assert_array_equal(ours[..., 3], sim.image[..., 3])
+    # Primary rays go through unjittered pixel centers in BOTH
+    # implementations (render.ts:1464), so a silhouette-edge center whose
+    # f32 intersection decision flips between the two repeats its flip
+    # every frame and never averages out — on a 144-pixel crop one such
+    # pixel alone breaks a global-RMSE bar that the 48x48 golden meets.
+    # The honest per-mode assertion is the isolation claim itself:
+    # decision flips hit at most ~1% of pixels, and everywhere else the
+    # two implementations accumulate bit-identically.
+    diff = (
+        np.abs(_normalized(ours) - _normalized(sim.image)).max(axis=-1)
+        > 1e-5
+    )
+    assert diff.mean() <= 0.02, f"{mode}: {diff.sum()} differing pixels"
+    np.testing.assert_array_equal(
+        np.asarray(ours)[~diff], sim.image[~diff],
+        err_msg=f"{mode}: non-edge pixels must accumulate bit-identically",
+    )
+
+
 def test_golden_vs_renderer_rmse(env):
     if not os.path.exists(GOLDEN):
         pytest.skip("golden not generated")
