@@ -101,8 +101,10 @@ def test_live_sim_vs_renderer_rmse(env):
         {"projection_type": "FISHEYE"},
         {"projection_type": "ORTHOGRAPHIC"},
         {"circle_of_confusion": 0.15, "focus_distance": 3.0},
+        {"shading_type": "FLAT"},
+        {"fov_orientation": "VERTICAL"},
     ],
-    ids=["pinhole", "fisheye", "ortho", "thin-lens"],
+    ids=["pinhole", "fisheye", "ortho", "thin-lens", "flat", "fov-vert"],
 )
 def test_live_sim_vs_renderer_rmse_modes(env, mode):
     """Cross-implementation parity beyond the default camera: each
@@ -111,9 +113,15 @@ def test_live_sim_vs_renderer_rmse_modes(env, mode):
     from webgpu_raytracing_tpu.config import ProjectionType
     from webgpu_raytracing_tpu.validation.wgsl_sim import WGSLReference
 
+    from webgpu_raytracing_tpu.config import FovOrientation, ShadingType
+
     kw = dict(mode)
     if "projection_type" in kw:
         kw["projection_type"] = ProjectionType[kw["projection_type"]]
+    if "shading_type" in kw:
+        kw["shading_type"] = ShadingType[kw["shading_type"]]
+    if "fov_orientation" in kw:
+        kw["fov_orientation"] = FovOrientation[kw["fov_orientation"]]
     size, seeds = 12, [4242 + 17 * k for k in range(4)]
     settings = RenderSettings(
         width=size, height=size, environment="equirect",
