@@ -66,13 +66,26 @@ def nearest_cluster_key(
         hit = (near < far) & (near < tc[:, None]) & (far > MIN_DIST)
         nears = jnp.where(hit, jnp.maximum(near, 0.0), _INF)
         iota = jax.lax.broadcasted_iota(jnp.int32, nears.shape, 1)
+        # pack (near, cid) into one sortable int32 (cid in the mantissa
+        # LSBs — same trick as the kernel's round keys): each "nearest"
+        # pick is ONE min-reduce instead of min + argmin-probe chains.
+        # Near-ties within the truncation granularity break toward the
+        # lower cid; the key only orders rays for coherence, per-ray
+        # trace results are grouping-independent (tested).
+        cbits = max(1, (c - 1).bit_length())
+        kmask = (1 << cbits) - 1
+        import numpy as _np
+
+        miss_th = int(_np.float32(_INF).view(_np.int32)) & ~kmask
+        pk = (
+            jax.lax.bitcast_convert_type(nears, jnp.int32) & ~kmask
+        ) | iota  # (chunk, C)
         key = jnp.zeros((oc.shape[0],), jnp.int32)
         for _ in range(2):  # two nearest clusters, lexicographic
-            m = jnp.min(nears, axis=1, keepdims=True)
-            cid = jnp.min(jnp.where(nears == m, iota, c), axis=1)
-            cid = jnp.where(m[:, 0] < _INF, cid, c)
+            k = jnp.min(pk, axis=1)  # (chunk,)
+            cid = jnp.where((k & ~kmask) < miss_th, k & kmask, c)
             key = key * (c + 1) + cid
-            nears = jnp.where(iota == cid[:, None], _INF, nears)
+            pk = jnp.where(pk == k[:, None], jnp.int32(0x7FFFFFFF), pk)
         return key
 
     pad = (-r) % chunk
