@@ -19,7 +19,9 @@ import json
 import time
 
 
-def main():
+def main(width: int = 1920, height: int = 1080, n_frames: int = 4):
+    """Driver entry (no args). Reduced sizes are for the CPU smoke test
+    (tests/test_bench.py) — same code path, tiny image."""
     import jax
 
     try:
@@ -40,7 +42,6 @@ def main():
         render_frame,
     )
 
-    width, height = 1920, 1080
     settings = RenderSettings(
         width=width,
         height=height,
@@ -79,7 +80,6 @@ def main():
         )
         float(rays)
 
-    n_frames = 4
     total_rays_dev = jnp.zeros((), jnp.float32)
     t0 = time.perf_counter()
     for k in range(n_frames):
