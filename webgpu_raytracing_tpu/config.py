@@ -137,9 +137,11 @@ class RenderSettings:
     # Ray-tile size for clustered tracing (coherent pixel groups).
     trace_tile: int = 256
     # Ray tiles folded into one Pallas grid step (single-level kernel):
-    # amortizes the fixed per-step cost over several tiles; results are
-    # bit-identical for any value.
-    tiles_per_step: int = 1
+    # amortizes the fixed per-step cost (~6 us/step measured: prologue +
+    # block DMA turnaround) over several tiles; results are bit-identical
+    # for any value. Default 4 halves-to-quarters that cost for a modest
+    # compile-size increase.
+    tiles_per_step: int = 4
     # Sort bounce/shadow rays by nearest hit cluster before tracing
     # (ops/ray_sort.py): collapses tile cluster-unions ~4x on incoherent
     # segments and compacts dead lanes to the back (the wavefront-
