@@ -242,3 +242,25 @@ def test_sharded_reprojection_matches_single_chip():
         np.asarray(bufs.prev_image), np.asarray(sharded.prev_image)
     )
     assert rays > 0
+
+
+def test_pallas_interpret_full_frame_matches_clustered():
+    """Drive the PRODUCTION Pallas kernel through the whole frame path
+    (raygen -> predictor -> sorted bounce traces -> accumulation) under
+    the interpreter, against the XLA clustered backend. The two may
+    legitimately flip isolated grazing-edge intersection decisions
+    (bf16 3-pass vs f32 dense); everywhere else the frame must agree."""
+    scene = _mini_scene()
+    imgs = {}
+    for backend in ("clustered", "pallas_interpret"):
+        s = RenderSettings(
+            width=16, height=16, bounces_depth=3, sample_count=1,
+            environment="procedural", traversal=backend, trace_tile=128,
+        )
+        r = Renderer(scene, s, base_seed=11)
+        r.step()
+        imgs[backend] = np.asarray(r.buffers.image)
+    a, b = imgs["clustered"], imgs["pallas_interpret"]
+    np.testing.assert_array_equal(a[..., 3], b[..., 3])  # equal spp
+    close = np.all(np.abs(a - b) <= 1e-5 + 1e-4 * np.abs(a), axis=-1)
+    assert close.mean() >= 0.98, f"{(~close).sum()} pixels differ"

@@ -132,7 +132,9 @@ class RenderSettings:
     # clustered elsewhere; "pallas" (ops/cluster_pallas.py, the TPU
     # production path); "clustered" = XLA dense cluster tracing
     # (ops/cluster_trace.py); "threaded" = stackless skip-link walk
-    # (ops/traverse.py, gather-bound oracle).
+    # (ops/traverse.py, gather-bound oracle); "pallas_interpret" = the
+    # REAL kernel under the Pallas interpreter on any backend (slow;
+    # lets tests drive the production kernel end-to-end without a TPU).
     traversal: str = "auto"
     # Ray-tile size for clustered tracing (coherent pixel groups).
     trace_tile: int = 256

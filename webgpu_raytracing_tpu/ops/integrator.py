@@ -36,7 +36,10 @@ from .traverse import Hit, trace_any, trace_closest
 
 
 def _resolve_backend(settings, tables) -> str:
-    """'auto' → Pallas kernel on TPU, XLA clustered elsewhere."""
+    """'auto' → Pallas kernel on TPU, XLA clustered elsewhere.
+    "pallas_interpret" runs the REAL kernel under the Pallas interpreter
+    (any backend) — slow, but the only way to drive the production
+    kernel through the full frame path without a TPU (tests)."""
     backend = settings.traversal
     if backend == "auto":
         import jax
@@ -58,7 +61,7 @@ def _trace_closest(o, d, t_max, tables, settings, active=None, sort=False):
     off for camera rays, which are already tile-coherent."""
     backend = _resolve_backend(settings, tables)
     use_sort = sort and settings.sort_bounce_rays
-    if backend == "pallas":
+    if backend in ("pallas", "pallas_interpret"):
         from .cluster_pallas import (
             rederive_uv,
             trace_closest_clustered_pallas,
@@ -66,6 +69,7 @@ def _trace_closest(o, d, t_max, tables, settings, active=None, sort=False):
 
         fn = functools.partial(
             trace_closest_clustered_pallas,
+            interpret=backend == "pallas_interpret",
             tile=settings.trace_tile,
             tiles_per_step=settings.tiles_per_step,
             # sorted path: re-derive u/v after unsorting (2 fewer unsort
@@ -99,12 +103,14 @@ def _trace_closest(o, d, t_max, tables, settings, active=None, sort=False):
 
 def _trace_any(o, d, t_max, tables, settings, active=None, sort=False):
     backend = _resolve_backend(settings, tables)
-    if backend == "pallas":
+    if backend in ("pallas", "pallas_interpret"):
         from .cluster_pallas import trace_closest_clustered_pallas
 
         def fn(o, d, t_max, tables, active):
             hit = trace_closest_clustered_pallas(
-                o, d, t_max, tables, active, tile=settings.trace_tile,
+                o, d, t_max, tables, active,
+                interpret=backend == "pallas_interpret",
+                tile=settings.trace_tile,
                 tiles_per_step=settings.tiles_per_step, any_hit=True,
             )
             return hit.face >= 0
