@@ -94,6 +94,8 @@ class RenderSettings:
     sample_count: int = 1
     bounces_depth: int = 4
     samples_per_point: int = 1
+    # store.ts:57 ships this but no WGSL ever reads it — kept for store
+    # parity, unused here too
     samples_per_bounce: int = 1
 
     # camera model (store.ts:59-71). Baked constants in the reference
