@@ -1,11 +1,23 @@
 """Benchmark: Mrays/sec on one chip at 1080p on the bundled OBJ scene.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus the
-second primary metric from BASELINE.md as an extra field —
-"wall_clock_256spp_s", the wall-clock to accumulate 256 spp at 1080p,
-derived from the steady-state per-frame time (each frame adds
-1 + sample_count spp). The environment is the real cubemap texture from
-the reference assets (config #2's skybox), not a procedural shortcut.
+second primary metric from BASELINE.md — the wall-clock to accumulate
+256 spp at 1080p. Each frame adds (1 + sample_count) spp, so with the
+default sample_count=1 a full 256-spp accumulation is 128 frames; when the
+time budget allows, the bench runs ALL 128 frames and reports the measured
+number as "wall_clock_256spp_measured_s" (plus the steady-state
+extrapolation "wall_clock_256spp_s" for continuity with earlier rounds).
+If the projected full run exceeds the budget, only the extrapolation is
+reported (labeled by the absence of the measured field).
+
+The environment is the real cubemap texture from the reference assets
+(config #2's skybox), not a procedural shortcut.
+
+Outage resilience (CLAUDE.md hazard: the axon TPU pool can be down for
+hours): before importing jax in-process, the bench probes device
+availability in a SUBPROCESS with a timeout, retrying for up to
+~50 minutes. A pool blip therefore delays the bench instead of voiding
+the round (round 2's headline was lost to exactly this).
 
 Ray accounting is honest wavefront accounting: every traced path segment
 (primary + bounces, while the lane is alive) counts as one ray; shadow rays
@@ -16,19 +28,72 @@ timed run (a single scalar reduction per segment).
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
+CACHE_DIR = "/tmp/jax_cache_webgpu_raytracing_tpu"
 
-def main(width: int = 1920, height: int = 1080, n_frames: int = 4):
+
+def probe_devices(attempts: int = 10, timeout_s: int = 600, sleep_s: int = 60) -> bool:
+    """Probe jax.devices() in a subprocess with a timeout, retrying.
+
+    Returns True once a backend initializes. Never probes in-process: a
+    down pool makes jax.devices() hang ~10+ minutes and there is no way to
+    time that out from inside. Skipped entirely on CPU-only test runs
+    (JAX_PLATFORMS=cpu) where there is nothing to probe.
+    """
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return True
+    env = dict(os.environ, JAX_COMPILATION_CACHE_DIR=CACHE_DIR)
+    code = "import jax; print(jax.devices())"
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=timeout_s,
+                capture_output=True,
+                text=True,
+                env=env,
+            )
+            if r.returncode == 0:
+                return True
+            sys.stderr.write(
+                f"bench: device probe attempt {i + 1}/{attempts} failed "
+                f"(rc={r.returncode}): {r.stderr.strip()[-200:]}\n"
+            )
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(
+                f"bench: device probe attempt {i + 1}/{attempts} timed out "
+                f"after {timeout_s}s\n"
+            )
+        if i + 1 < attempts:
+            time.sleep(sleep_s)
+    return False
+
+
+def main(
+    width: int = 1920,
+    height: int = 1080,
+    n_frames: int = 16,
+    full_spp_budget_s: float = 900.0,
+    probe: bool = True,
+):
     """Driver entry (no args). Reduced sizes are for the CPU smoke test
-    (tests/test_bench.py) — same code path, tiny image."""
+    (tests/test_bench.py) — same code path, tiny image. ``probe=False``
+    skips the TPU-availability probe: the test suite forces CPU via
+    jax.config (the env var stays 'axon' — the tunnel ignores
+    JAX_PLATFORMS), and a probe subprocess would attach to the real TPU,
+    deadlocking any concurrent TPU session (one client at a time)."""
+    if probe and not probe_devices():
+        sys.stderr.write("bench: no device after all probe attempts; aborting\n")
+        raise SystemExit(1)
+
     import jax
 
     try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            "/tmp/jax_cache_webgpu_raytracing_tpu",
-        )
+        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
@@ -80,41 +145,63 @@ def main(width: int = 1920, height: int = 1080, n_frames: int = 4):
         )
         float(rays)
 
-    total_rays_dev = jnp.zeros((), jnp.float32)
-    t0 = time.perf_counter()
-    for k in range(n_frames):
-        buffers, rays = render_frame(
-            buffers,
-            tables,
-            env,
-            FrameInputs.simple(view, 2654435761 * (k + 2) % (2**32), k + 1),
-            settings,
-        )
-        # accumulate on-device: no per-frame host sync, so frame k+1's
-        # dispatch pipelines behind frame k through the tunnel
-        total_rays_dev = total_rays_dev + rays
-    # single host readback ends the timed region (block_until_ready does
-    # not block through the tunnel — see CLAUDE.md)
-    total_rays = float(total_rays_dev)
-    dt = time.perf_counter() - t0
-
-    mrays = total_rays / dt / 1e6
-    # second primary metric (BASELINE.md): wall-clock to 256 spp — each
-    # frame adds (1 + sample_count) spp at the measured steady-state rate
     spp_per_frame = 1 + settings.sample_count
-    secs_256 = (256 / spp_per_frame) * (dt / n_frames)
-    print(
-        json.dumps(
-            {
-                "metric": "Mrays/sec/chip @1080p bundled OBJ scene",
-                "value": round(mrays, 3),
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays / 100.0, 4),
-                "wall_clock_256spp_s": round(secs_256, 1),
-                "environment": settings.environment,
-            }
-        )
-    )
+    frames_256 = max(1, round(256 / spp_per_frame))
+
+    def timed_frames(buffers, start_counter, count):
+        """Run `count` frames with on-device ray accumulation (no per-frame
+        host sync, so frame k+1's dispatch pipelines behind frame k through
+        the tunnel); one host readback ends the timed region
+        (block_until_ready does not block through the tunnel — CLAUDE.md)."""
+        total_rays_dev = jnp.zeros((), jnp.float32)
+        t0 = time.perf_counter()
+        for k in range(count):
+            c = start_counter + k
+            buffers, rays = render_frame(
+                buffers,
+                tables,
+                env,
+                FrameInputs.simple(view, 2654435761 * (c + 2) % (2**32), c),
+                settings,
+            )
+            total_rays_dev = total_rays_dev + rays
+        total_rays = float(total_rays_dev)
+        return buffers, total_rays, time.perf_counter() - t0
+
+    # Phase 1: headline chunk.
+    n1 = min(n_frames, frames_256)
+    buffers, rays1, dt1 = timed_frames(buffers, 1, n1)
+
+    # Phase 2: finish the 256-spp accumulation if the budget allows, so the
+    # second primary metric is a MEASUREMENT, not an extrapolation
+    # (VERDICT r2 weak #6).
+    remaining = frames_256 - n1
+    projected = dt1 + remaining * (dt1 / n1)
+    measured_256 = None
+    total_rays, total_dt = rays1, dt1
+    if remaining > 0 and projected <= full_spp_budget_s:
+        buffers, rays2, dt2 = timed_frames(buffers, 1 + n1, remaining)
+        total_rays += rays2
+        total_dt += dt2
+        measured_256 = dt1 + dt2
+    elif remaining == 0:
+        measured_256 = dt1
+
+    frames_timed = n1 + (remaining if measured_256 is not None else 0)
+    mrays = total_rays / total_dt / 1e6
+    secs_256_extrap = frames_256 * (total_dt / frames_timed)
+    out = {
+        "metric": "Mrays/sec/chip @1080p bundled OBJ scene",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 100.0, 4),
+        "wall_clock_256spp_s": round(secs_256_extrap, 1),
+        "environment": settings.environment,
+        "frames_timed": frames_timed,
+    }
+    if measured_256 is not None:
+        out["wall_clock_256spp_measured_s"] = round(measured_256, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

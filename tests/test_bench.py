@@ -19,7 +19,15 @@ def test_bench_main_smoke(capsys):
     sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
     import bench
 
-    bench.main(width=64, height=48, n_frames=2)
+    # probe=False: the suite runs on CPU (forced via jax.config — the
+    # env var still says 'axon'), and a probe subprocess would attach to
+    # the real TPU, deadlocking any concurrent TPU session
+    # full_spp_budget_s=0 keeps the smoke test at n_frames (the full
+    # 256-spp accumulation is 128 frames — a measurement for the real
+    # bench session, not a CPU smoke test)
+    bench.main(
+        width=64, height=48, n_frames=2, probe=False, full_spp_budget_s=0.0
+    )
     out = capsys.readouterr().out.strip().splitlines()[-1]
     rec = json.loads(out)
     assert rec["unit"] == "Mrays/s"

@@ -1,0 +1,188 @@
+"""Isolated sorted-bounce-trace bench on TPU: exact_pairs cost, miss-tail
+gang sizes, and the coherent primary trace — fast iteration without
+full-frame compiles.
+
+Bounce rays are generated the way the integrator makes them (primary hit
+points + cosine-weighted directions, dead lanes for primary misses), at
+1080p scale. Timing per CLAUDE.md: on-device accumulation, one scalar
+host readback ends each timed region; inputs cycle across reps so the
+tunnel can't memoize.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/gang_bench.py [labels...]
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_webgpu_raytracing_tpu"
+)
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir", "/tmp/jax_cache_webgpu_raytracing_tpu"
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from webgpu_raytracing_tpu.config import F32_MAX, RenderSettings
+from webgpu_raytracing_tpu.models.scene import load_scene
+from webgpu_raytracing_tpu.ops import rng
+from webgpu_raytracing_tpu.ops.cluster_pallas import (
+    adjudicate_candidates,
+    rederive_uv,
+    trace_closest_clustered_pallas,
+)
+from webgpu_raytracing_tpu.ops.raygen import camera_rays
+from webgpu_raytracing_tpu.ops.ray_sort import sorted_trace
+
+W, H = 1920, 1080
+R = W * H
+REPS = 4
+
+
+def make_rays(tables, settings):
+    """Primary rays + two bounce-ray sets (different RNG draws)."""
+    ys, xs = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.int32),
+        jnp.arange(W, dtype=jnp.int32),
+        indexing="ij",
+    )
+    idx = (xs + ys * W).reshape(R)
+    pos = jnp.stack([xs, ys], axis=-1).reshape(R, 2).astype(jnp.float32)
+    view = jnp.eye(4, dtype=jnp.float32)
+    state = rng.seed_state(jnp.broadcast_to(jnp.uint32(1), (R,)), idx)
+    o, d, state = camera_rays(pos, view, state, settings)
+    tmax = jnp.full((R,), F32_MAX, jnp.float32)
+    hit = trace_closest_clustered_pallas(
+        o, d, tmax, tables, tile=128, exact_pairs=False
+    )
+    found = hit.face >= 0
+    no = o + d * jnp.where(found, hit.t, 1.0)[:, None]
+    btm = jnp.where(found, F32_MAX, 0.0)
+    sets = []
+    for _ in range(2):
+        t2, state = rng.random_2(state)
+        nd = rng.sample_cosine_weighted_hemisphere(t2, -d)
+        sets.append((no, nd, btm))
+    return (o, d, tmax), sets
+
+
+def timed(fn, ray_sets, label):
+    t_c0 = time.perf_counter()
+    acc = jnp.zeros((), jnp.float32)
+    h = fn(*ray_sets[0])
+    float(jnp.sum(h.t))
+    compile_s = time.perf_counter() - t_c0
+    t0 = time.perf_counter()
+    acc = jnp.zeros((), jnp.float32)
+    for i in range(REPS):
+        h = fn(*ray_sets[i % len(ray_sets)])
+        acc = acc + jnp.sum(h.t)
+    float(acc)
+    dt = (time.perf_counter() - t0) / REPS
+    rec = {
+        "label": label,
+        "ms": round(1000 * dt, 1),
+        "mrays": round(R / dt / 1e6, 2),
+        "compile_s": round(compile_s, 1),
+    }
+    print(json.dumps(rec), flush=True)
+    return dt
+
+
+def main():
+    print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
+    scene = load_scene(
+        "/root/reference/assets/raytraced-scene.obj",
+        "/root/reference/assets/raytraced-scene.mtl",
+    )
+    tables = jax.device_put(scene.tables())
+    settings = RenderSettings(width=W, height=H)
+    (po, pd, ptm), bounce_sets = make_rays(tables, settings)
+
+    def sorted_pairs(gang, gang_frac, exact_pairs, approx_div=False):
+        kw = dict(
+            tile=128, tiles_per_step=8, approx_div=approx_div,
+            exact_pairs=exact_pairs, gang=gang, gang_frac=gang_frac,
+        )
+
+        @jax.jit
+        def run(o, d, tm):
+            if exact_pairs:
+                def tf(o_, d_, tm_, tb_, act_):
+                    _, f1, f2, f3 = trace_closest_clustered_pallas(
+                        o_, d_, tm_, tb_, act_, raw_pair=True,
+                        derive_uv=False, **kw,
+                    )
+                    return f1, f2, f3
+
+                cands = sorted_trace(tf, o, d, tm, tables, None)
+                return adjudicate_candidates(o, d, tm, cands, tables)
+
+            def tf(o_, d_, tm_, tb_, act_):
+                h = trace_closest_clustered_pallas(
+                    o_, d_, tm_, tb_, act_, derive_uv=False, **kw
+                )
+                return h.t, h.face
+
+            t, face = sorted_trace(tf, o, d, tm, tables, None)
+            return rederive_uv(o, d, t, face, tables)
+
+        return run
+
+    def primary(gang, gang_frac, exact_pairs):
+        @jax.jit
+        def run(o, d, tm):
+            return trace_closest_clustered_pallas(
+                o, d, tm, tables, tile=128, tiles_per_step=8,
+                approx_div=False, exact_pairs=exact_pairs, gang=gang,
+                gang_frac=gang_frac,
+            )
+
+        return run
+
+    cases = {
+        "bounce_pairs_g0": lambda: timed(
+            sorted_pairs(0, 8, True), bounce_sets, "bounce_pairs_g0"
+        ),
+        "bounce_nopairs_g0": lambda: timed(
+            sorted_pairs(0, 8, False), bounce_sets, "bounce_nopairs_g0"
+        ),
+        "bounce_pairs_g4f8": lambda: timed(
+            sorted_pairs(4, 8, True), bounce_sets, "bounce_pairs_g4f8"
+        ),
+        "bounce_pairs_g4f4": lambda: timed(
+            sorted_pairs(4, 4, True), bounce_sets, "bounce_pairs_g4f4"
+        ),
+        "bounce_pairs_g8f8": lambda: timed(
+            sorted_pairs(8, 8, True), bounce_sets, "bounce_pairs_g8f8"
+        ),
+        "bounce_pairs_g2f8": lambda: timed(
+            sorted_pairs(2, 8, True), bounce_sets, "bounce_pairs_g2f8"
+        ),
+        "primary_pairs_g0": lambda: timed(
+            primary(0, 8, True), [(po, pd, ptm)], "primary_pairs_g0"
+        ),
+        "primary_pairs_g4f8": lambda: timed(
+            primary(4, 8, True), [(po, pd, ptm)], "primary_pairs_g4f8"
+        ),
+        "primary_nopairs_g0": lambda: timed(
+            primary(0, 8, False), [(po, pd, ptm)], "primary_nopairs_g0"
+        ),
+    }
+    only = sys.argv[1:]
+    for name, f in cases.items():
+        if only and name not in only:
+            continue
+        f()
+
+
+if __name__ == "__main__":
+    main()

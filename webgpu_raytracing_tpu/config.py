@@ -88,6 +88,43 @@ class RenderSettings:
     # image
     width: int = 640
     height: int = 480
+    # Render-resolution scale (store.ts:76, UI.tsx:184): the reference
+    # scales the canvas backing store (render.ts:109-113) so the whole
+    # pipeline renders at width*scale x height*scale and the fullscreen
+    # blit stretches to the display size; here the accumulation/G-buffers
+    # are allocated at the scaled size and blit() bilinear-upscales.
+    resolution_scale: float = 1.0
+    # G-buffer allocation multiplier (store.ts:77, render.ts:141-144).
+    # In the reference this scales only the geometry BUFFER SIZE while
+    # the kernel indexes it with the full-resolution imageIdx: > 1 pads
+    # the allocation with rows that are never read; < 1 under-allocates,
+    # and WebGPU robust buffer access turns the out-of-range accesses
+    # into dropped writes / zero reads. Mirrored here: the G-buffer gets
+    # round(scale x render_height) rows; rows beyond it behave as
+    # "no data" (face -1 / position 0) for the predictor and
+    # reprojection, exactly the robust-access result.
+    geometry_buffer_scale: float = 1.0
+
+    @property
+    def render_width(self) -> int:
+        return max(1, round(self.width * self.resolution_scale))
+
+    @property
+    def render_height(self) -> int:
+        return max(1, round(self.height * self.resolution_scale))
+
+    @property
+    def geo_height(self) -> int:
+        """Allocated G-buffer rows (render.ts:144; capped at the render
+        height — extra allocation is never read, matching the
+        reference's unused padding)."""
+        return max(
+            1,
+            min(
+                round(self.render_height * self.geometry_buffer_scale),
+                self.render_height,
+            ),
+        )
 
     # sampling (store.ts:54-58). Each frame traces 1 + sample_count camera
     # samples per pixel (render.ts:1464-1495).
@@ -139,13 +176,42 @@ class RenderSettings:
     # lets tests drive the production kernel end-to-end without a TPU).
     traversal: str = "auto"
     # Ray-tile size for clustered tracing (coherent pixel groups).
-    trace_tile: int = 256
+    # r3 on-chip sweep (tools/sweep_r3.py, 1080p frames): 128 edges 256
+    # by ~2-4% at every tiles_per_step; round-epilogue work scales with
+    # tile x rounds and the CPU round-sim predicted exactly this.
+    trace_tile: int = 128
     # Ray tiles folded into one Pallas grid step (single-level kernel):
     # amortizes the fixed per-step cost (~6 us/step measured: prologue +
     # block DMA turnaround) over several tiles; results are bit-identical
-    # for any value. Default 4 halves-to-quarters that cost for a modest
-    # compile-size increase.
-    tiles_per_step: int = 4
+    # for any value. r3 sweep: tps8 best at tile=128 (within ~1% of tps4).
+    tiles_per_step: int = 8
+    # Exact top-2 re-adjudication of the Pallas kernel's winners
+    # (ops/cluster_pallas.py adjudicate_pair): the kernel carries its two
+    # nearest candidates out with margin-widened validity gates, and an
+    # exact f32 Möller–Trumbore re-test picks the true winner — the TPU
+    # path then matches the exact-arithmetic path everywhere except
+    # double-knife-edge cases (north-star RMSE clause at 4 spp).
+    exact_pairs: bool = True
+    # Approximate-reciprocal round picks in the Pallas kernel (the per-
+    # round (T, S) division is a VPU hot spot). Winner t/u/v stay exact;
+    # with exact_pairs near-tie ordering flips are re-adjudicated
+    # exactly — but the approximate t also feeds the tile t-prune BOUND
+    # and the candidate ranking, and measured full-frame parity loss is
+    # severe (48x48@4spp RMSE 1.56 vs 0.005). The r3 sweep gain was
+    # +0.4% (noise) — stays off.
+    approx_div: bool = False
+    # Miss-tail gang rounds (ops/cluster_pallas.py): the heaviest
+    # 1/trace_gang_frac of ray tiles by shortlist-union size run
+    # gang-of-K cluster rounds (one K-wide matmul + one epilogue per
+    # round) — the p99 ≈ 200-round miss-heavy tiles carry ~half of all
+    # kernel rounds and their prune bound rarely fires, so ganging cuts
+    # their serial round count ~K× at near-constant total work. 0
+    # disables (single-cluster rounds everywhere). r3 on-chip
+    # (tools/gang_bench.py): gang=4 cuts the sorted bounce trace 19%
+    # (355 -> 289 ms at 2.07M rays) and the primary trace 12%; gang=8
+    # is within noise of 4, gang=2 captures half the win.
+    trace_gang: int = 4
+    trace_gang_frac: int = 8
     # Sort bounce/shadow rays by nearest hit cluster before tracing
     # (ops/ray_sort.py): collapses tile cluster-unions ~4x on incoherent
     # segments and compacts dead lanes to the back (the wavefront-

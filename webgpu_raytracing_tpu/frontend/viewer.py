@@ -50,8 +50,9 @@ _PAGE = """<!doctype html>
 <div id="hud">connecting…</div>
 <img id="view" width=WIDTH height=HEIGHT draggable=false>
 <div id="panel"></div>
-<div id="help">drag = look · WASD/arrows = move · Space/C = up/down ·
-Shift = run · B wireframe · V view · P projection · T tonemap · R reset</div>
+<div id="help">left click = lock mouse, right click = unlock (or drag) ·
+WASD/arrows = move · Space/C = up/down · Shift = run ·
+B wireframe · V view · P projection · T tonemap · R reset</div>
 <script>
 const img = document.getElementById('view');
 let n = 0;
@@ -67,10 +68,23 @@ setInterval(async () => {
     `${s.width}x${s.height}`;
 }, 500);
 function post(o){ fetch('/input', {method:'POST', body: JSON.stringify(o)}); }
+// pointer-lock capture (controls.ts:30-49): left click locks the
+// pointer, right click (or blur) releases; drag-look stays as the
+// fallback when pointer lock is unavailable (e.g. insecure contexts)
 let drag = null;
-img.onmousedown = e => { drag = [e.clientX, e.clientY]; };
+img.onmousedown = e => {
+  if (e.button === 0 && img.requestPointerLock) img.requestPointerLock();
+  drag = [e.clientX, e.clientY];
+};
+window.oncontextmenu = e => {
+  if (document.pointerLockElement) { document.exitPointerLock(); e.preventDefault(); }
+};
 window.onmouseup = () => { drag = null; };
 window.onmousemove = e => {
+  if (document.pointerLockElement === img) {
+    post({type:'look', dx: e.movementX, dy: e.movementY});
+    return;
+  }
   if (!drag) return;
   const dx = e.clientX - drag[0], dy = e.clientY - drag[1];
   drag = [e.clientX, e.clientY];
@@ -81,7 +95,10 @@ window.onkeydown = e => {
   post({type:'key', key: e.key, down: true});
 };
 window.onkeyup = e => post({type:'key', key: e.key, down: false});
-window.onblur = () => post({type:'blur'});
+window.onblur = () => {
+  if (document.pointerLockElement) document.exitPointerLock();
+  post({type:'blur'});
+};
 // settings panel (the reference's UI controls, UI.tsx:44-187)
 (async () => {
   const s = await (await fetch('/settings.json')).json();
@@ -194,6 +211,7 @@ _TONE_CYCLE = list(Tonemapping)
 # accept the enum's value name (case-insensitive); everything else is
 # coerced by the dataclass field's current type.
 _PANEL_FIELDS = (
+    "resolution_scale",
     "fov",
     "fov_orientation",
     "focus_distance",
@@ -347,8 +365,11 @@ def serve(
             img = renderer.image()
             frame_s = time.perf_counter() - t0
             png = _encode_png(img)
+            # derived, not read back: each frame adds (1 + sample_count)
+            # samples per pixel — a full-image readback for one HUD stat
+            # costs tens of ms through the device tunnel (VERDICT r2 #7)
             spp = float(
-                np.asarray(renderer.buffers.image[..., 3]).mean()
+                renderer.counter * (1 + renderer.settings.sample_count)
             )
             with shared.lock:
                 shared.png = png

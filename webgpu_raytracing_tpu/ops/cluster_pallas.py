@@ -43,15 +43,54 @@ _EPS2 = EPSILON * EPSILON
 _INF = float(F32_MAX)
 _NEAR_CHUNK = 128  # rays per in-kernel box-test chunk (bounds VMEM temps)
 
+# Relative validity margin for the pairs (exact-adjudication) path, scaled
+# by the per-candidate magnitude bound |a|@|b|: the 3-pass bf16 hi/lo dot
+# differs from the exact f32 dot by at most ~2^-15 x sum|a_i b_i| (per-term
+# hi+lo representation error 2^-16, dropped lo*lo 2^-16 of the term, f32
+# accumulation 2^-20) — 2^-14 is that bound with 2x safety, covering the
+# 1-pass bf16 underestimate of the magnitude itself.
+_MARGIN = 2.0**-14
 
 
 def _round_pick(
-    out, best_key, best_code, cid, *, n_s, iota_s, sl_mask, approx_div
+    outs, mags, cids, best, *, n_s, iota_gs, sl_mask, p_bits, approx_div
 ):
     """Shared per-round epilogue of both kernels: validity gates, the
     (approx-)reciprocal t, and the packed (t | slot) min-pick that
-    updates the per-ray best key/code. Keeping this in one place keeps
+    updates the per-ray best state. Keeping this in one place keeps
     the single- and two-level kernels' epilogues provably identical.
+
+    ``outs``/``mags``/``cids`` are parallel lists, one entry per ganged
+    cluster this round (length 1 = the classic one-cluster round; the
+    gang path batches K clusters into one matmul + ONE epilogue to cut
+    the serial round count of miss-heavy tiles — see the gang notes in
+    :func:`trace_closest_clustered_pallas`). ``iota_gs`` is the
+    (T, K·S) slot iota where block k's slots live at ``k << p_bits``;
+    ``sl_mask`` covers all K·S slot codes.
+
+    ``best`` is ``(key, code)`` — classic single-winner mode — or
+    ``(key1, code1, key2, code2, key3, code3)``: the two smallest
+    margin-accepted packed keys seen so far PLUS the smallest
+    ROBUSTLY-bf16-valid key (every gate passed with negative margin,
+    including provably-positive t), all carried out of the kernel for exact
+    f32 re-adjudication (:func:`adjudicate_candidates`). In pairs mode
+    each ``mags[k]`` is a 4th matmul pass |a|@|b|, a per-candidate
+    magnitude bound that widens the barycentric validity gates by the
+    bf16x3 worst-case error, so a true winner the bf16 arithmetic would
+    knife-edge-reject is still carried out as a candidate (false
+    accepts are rejected exactly outside).
+
+    Why the third (strict) slot: a ray grazing a silhouette EDGE puts
+    both adjacent faces into margin limbo at nearly equal t — they fill
+    the top-2, and when the ray actually slips past the edge the true
+    (farther) winner would be lost, reading as a miss. That geometry is
+    common (measured 30/2304 pixels at 48²·4 spp with top-2 only). The
+    farther winner is robustly bf16-valid in all but knife-edge cases,
+    so the nearest ROBUST candidate catches it. The robust t-gate also
+    excludes the near-zero self-intersection impostors every bounce ray
+    sees at its own source face (bf16 sign-ambiguous t) — without it
+    they crowd all carried slots. Residual failures need multiple
+    independent knife-edge events on one ray.
 
     Note the packed compare narrows acceptance by one truncation bucket
     at the t_max boundary: a hit whose t falls in the same 2^-sl_bits
@@ -59,46 +98,142 @@ def _round_pick(
     occluder within ~2^-16 relative of the light's own distance, for
     predictor-bounded rays far inside the 1.05x margin. Both are
     knife-edge cases the exact compare resolved arbitrarily anyway."""
-    det = out[:, 0 * n_s : 1 * n_s]
-    t_num = out[:, 1 * n_s : 2 * n_s]
-    u_num = out[:, 2 * n_s : 3 * n_s]
-    v_num = out[:, 3 * n_s : 4 * n_s]
+    pairs = len(best) != 2
+    ts = []
+    robusts = []
+    for out, out_mag in zip(outs, mags):
+        det = out[:, 0 * n_s : 1 * n_s]
+        t_num = out[:, 1 * n_s : 2 * n_s]
+        u_num = out[:, 2 * n_s : 3 * n_s]
+        v_num = out[:, 3 * n_s : 4 * n_s]
 
-    valid = (
-        (det >= _EPS2)
-        & (u_num >= 0.0)
-        & (u_num <= det)
-        & (v_num >= 0.0)
-        & (u_num + v_num <= det)
-    )
-    # the (T, S) division is a per-round VPU cost; with approx_div the
-    # pick runs on a fast approximate reciprocal (~2^-12 relative) —
-    # output t/u/v stay exact (re-derived per winner in rederive_uv),
-    # only near-tie (<~2.4e-4 relative) winner decisions can flip
-    det_safe = jnp.where(valid, det, 1.0)
-    if approx_div:
-        inv_det = pl.reciprocal(det_safe, approx=True)
-    else:
-        inv_det = 1.0 / det_safe
-    t = t_num * inv_det
+        if out_mag is None:
+            valid = (
+                (det >= _EPS2)
+                & (u_num >= 0.0)
+                & (u_num <= det)
+                & (v_num >= 0.0)
+                & (u_num + v_num <= det)
+            )
+        else:
+            # margined gates (pairs mode). The det >= EPS^2 cull is NOT
+            # margined: near-parallel candidates have numerically wild t
+            # that would poison the t-prune bound; the cull is a
+            # deliberate epsilon threshold whose knife edge the
+            # reference also decides arbitrarily.
+            m_d = out_mag[:, 0 * n_s : 1 * n_s] * _MARGIN
+            m_t = out_mag[:, 1 * n_s : 2 * n_s] * _MARGIN
+            m_u = out_mag[:, 2 * n_s : 3 * n_s] * _MARGIN
+            m_v = out_mag[:, 3 * n_s : 4 * n_s] * _MARGIN
+            valid = (
+                (det >= _EPS2)
+                & (u_num >= -m_u)
+                & (u_num <= det + m_u)
+                & (v_num >= -m_v)
+                & (u_num + v_num <= det + m_u + m_v)
+            )
+            # ROBUST candidates pass every gate with the margin flipped
+            # NEGATIVE — bf16 can prove them exact-valid. Crucially this
+            # includes t_num >= +m_t (provably in FRONT of the origin):
+            # a bounce ray's own source face evaluates at exact
+            # t ≈ -1e-5 with a bf16 t̂ of ambiguous sign, passes the
+            # plain gates, and its near-zero key would otherwise crowd
+            # every carried slot (measured: the dominant residual miss
+            # class, plain hits at t≈0.2-5 reading as misses).
+            robusts.append(
+                (det >= _EPS2 + m_d)
+                & (u_num >= m_u)
+                & (u_num <= det - m_u)
+                & (v_num >= m_v)
+                & (u_num + v_num <= det - m_u - m_v)
+                & (t_num >= m_t)
+            )
+        # the (T, S) division is a per-round VPU cost; with approx_div
+        # the pick runs on a fast approximate reciprocal (~2^-12
+        # relative) — NOTE measured full-frame parity loss is severe
+        # (the approximate t feeds the candidate ranking AND the tile
+        # t-prune bound); keep off unless re-validated.
+        det_safe = jnp.where(valid, det, 1.0)
+        if approx_div:
+            inv_det = pl.reciprocal(det_safe, approx=True)
+        else:
+            inv_det = 1.0 / det_safe
+        t = t_num * inv_det
+        ts.append(jnp.where(valid & (t > MIN_DIST), t, _INF))
 
     # pack (t, slot) into one sortable key; a single min-reduce yields
     # the round winner's t and slot (vs best, carried in the same
     # packed form — no elementwise t<best prefilter needed)
-    t_masked = jnp.where(valid & (t > MIN_DIST), t, _INF)
+    t_masked = ts[0] if len(ts) == 1 else jnp.concatenate(ts, axis=1)
     tkey = (
         jax.lax.bitcast_convert_type(t_masked, jnp.int32) & ~sl_mask
-    ) | iota_s
+    ) | iota_gs
     cand = jnp.min(tkey, axis=1)  # (T,)
 
-    improved = cand < best_key[0]
-    best_key = jnp.where(improved, cand, best_key[0])[None, :]
-    # defer u/v/face: rounds only carry the winner's (cid, slot);
-    # the wrapper re-derives u/v once per ray
-    best_code = jnp.where(
-        improved, cid * n_s + (cand & sl_mask), best_code[0]
-    )[None, :]
-    return best_key, best_code
+    def _code_of(c):
+        """Packed slot code → global face code cid·S + slot. The gang
+        index rides the bits above p_bits; its cid is recovered with a
+        short select chain (K is 1-8, a handful of vector selects)."""
+        slot_g = c & sl_mask
+        slot = slot_g & ((1 << p_bits) - 1)
+        if len(cids) == 1:
+            return cids[0] * n_s + slot
+        k_idx = slot_g >> p_bits
+        cid_sel = cids[0]
+        for k in range(1, len(cids)):
+            cid_sel = jnp.where(k_idx == k, cids[k], cid_sel)
+        return cid_sel * n_s + slot
+
+    ccode1 = _code_of(cand)
+
+    if len(best) == 2:
+        best_key, best_code = best
+        improved = cand < best_key[0]
+        best_key = jnp.where(improved, cand, best_key[0])[None, :]
+        # defer u/v/face: rounds only carry the winner's (cid, slot);
+        # the wrapper re-derives u/v once per ray
+        best_code = jnp.where(improved, ccode1, best_code[0])[None, :]
+        return best_key, best_code
+
+    # pairs mode: merge this round's two smallest keys into the running
+    # two smallest. Invalid lanes carry bitcast(F32_MAX)-based sentinel
+    # keys, which never beat the t_max-key inits (strict compares).
+    # Gang duplicates (an exhausted shortlist repeats cluster 0) emit
+    # identical keys, and the equality mask below removes ALL copies of
+    # the winner — a duplicate can never occupy both top-2 slots.
+    bk1, bc1, bk2, bc2, bk3, bc3 = best
+    cand2 = jnp.min(
+        jnp.where(tkey == cand[:, None], jnp.int32(0x7FFFFFFF), tkey),
+        axis=1,
+    )
+    ccode2 = _code_of(cand2)
+    take = cand < bk1[0]
+    nb1 = jnp.where(take, cand, bk1[0])
+    nc1 = jnp.where(take, ccode1, bc1[0])
+    loser = jnp.where(take, bk1[0], cand)  # max(bk1, cand)
+    lcode = jnp.where(take, bc1[0], ccode1)
+    # second-smallest of {bk1, bk2, cand, cand2} = min(loser, bk2, cand2)
+    m23 = jnp.minimum(bk2[0], cand2)
+    c23 = jnp.where(bk2[0] <= cand2, bc2[0], ccode2)
+    nb2 = jnp.minimum(loser, m23)
+    nc2 = jnp.where(loser <= m23, lcode, c23)
+    # third slot: nearest ROBUSTLY-valid candidate this round (see the
+    # docstring). robust ⊆ margin-valid, so tkey already carries the
+    # right t values — just re-mask to the robust set.
+    s_mask = (
+        robusts[0]
+        if len(robusts) == 1
+        else jnp.concatenate(robusts, axis=1)
+    )
+    skey = jnp.where(s_mask, tkey, jnp.int32(0x7FFFFFFF))
+    cand3 = jnp.min(skey, axis=1)
+    take3 = cand3 < bk3[0]
+    nb3 = jnp.where(take3, cand3, bk3[0])
+    nc3 = jnp.where(take3, _code_of(cand3), bc3[0])
+    return (
+        nb1[None, :], nc1[None, :], nb2[None, :], nc2[None, :],
+        nb3[None, :], nc3[None, :],
+    )
 
 
 def _kernel(
@@ -108,27 +243,36 @@ def _kernel(
     matb_ref,  # (C, 16, 4S) cluster matrices (VMEM, or HBM when hbm=True)
     out_t_ref,  # (G, 1, T)
     out_code_ref,  # (G, 1, T) int32: winning cid * S + slot (-1 = miss)
-    *scratch,  # hbm=True: (b_scratch VMEM (2, 16, 4S), dma_sems (2,))
+    *rest,  # pairs: out_code{2,3}_ref (G, 1, T); hbm: b_scratch, dma_sems
     n_s: int,
     cid_bits: int,
     any_hit: bool = False,
     hbm: bool = False,
     in_near: bool = False,
     approx_div: bool = False,
+    pairs: bool = False,
+    gang: int = 1,
 ):
+    if pairs:
+        out_code2_ref, out_code3_ref, *scratch = rest
+    else:
+        out_code2_ref, out_code3_ref, scratch = None, None, list(rest)
     # Each grid step owns `G` ray tiles, processed back-to-back by the same
     # per-tile round loop — G > 1 amortizes the fixed per-grid-step cost
     # (prologue + block DMA turnaround, ~6 µs) over G tiles.
     for g in range(a_ref.shape[0]):
         _kernel_one_tile(
-            a_ref, near_ref, matb_ref, out_t_ref, out_code_ref, scratch,
+            a_ref, near_ref, matb_ref, out_t_ref, out_code_ref,
+            out_code2_ref, out_code3_ref, scratch,
             g=g, n_s=n_s, cid_bits=cid_bits, any_hit=any_hit, hbm=hbm,
-            in_near=in_near, approx_div=approx_div,
+            in_near=in_near, approx_div=approx_div, pairs=pairs,
+            gang=gang,
         )
 
 
 def _kernel_one_tile(
-    a_ref, near_ref, matb_ref, out_t_ref, out_code_ref, scratch,
+    a_ref, near_ref, matb_ref, out_t_ref, out_code_ref, out_code2_ref,
+    out_code3_ref, scratch,
     *,
     g: int,
     n_s: int,
@@ -137,6 +281,8 @@ def _kernel_one_tile(
     hbm: bool,
     in_near: bool,
     approx_div: bool,
+    pairs: bool,
+    gang: int = 1,
 ):
     a = a_ref[g]  # (T, 16)
     t_dim = a.shape[0]
@@ -207,8 +353,20 @@ def _kernel_one_tile(
     # f32 intersection noise; u/v/t are re-derived exactly from the face),
     # and acceptance narrows by one truncation bucket at the t_max
     # boundary (see _round_pick's docstring).
-    sl_bits = max(1, (n_s - 1).bit_length())
+    # gang > 1 batches K clusters per round (one matmul, one epilogue):
+    # the slot code grows by the gang-index bits above `p_bits`, so t's
+    # truncation coarsens from 2^-16 to 2^-(16-log2 K) relative — still
+    # far below f32 intersection noise, and exact under pairs mode.
+    p_bits = max(1, (n_s - 1).bit_length())
+    sl_bits = p_bits + (gang - 1).bit_length()
     sl_mask = (1 << sl_bits) - 1
+    iota_gs = (
+        iota_s
+        if gang == 1
+        else jnp.concatenate(
+            [iota_s + (k << p_bits) for k in range(gang)], axis=1
+        )
+    )
 
     # Tile t-pruning bound: rounds run in near order, and a triangle inside
     # a cluster box can't hit closer than the box entry distance, so the
@@ -221,15 +379,30 @@ def _kernel_one_tile(
     # truncated LSBs to an upper bound of the true t first), so the prune
     # is strictly conservative (never skips a cluster that could still
     # win); `done_th` caps the bound so miss/pad keys always fail.
+    # In pairs mode the best keys come from bf16x3 t estimates that can
+    # UNDERESTIMATE the exact winner by ~2^-15 relative; a cluster whose
+    # (exact) entry distance falls in that band would be pruned although
+    # it could hold the true winner. Bitcast keys are log-spaced (1 int
+    # step ≈ 2^-23 relative), so adding 2^9 steps inflates the bound by
+    # ~2^-14 relative — the same safety the margined gates use. Costs at
+    # most a couple of extra rounds per tile.
+    binfl = (1 << 9) if pairs else 0
+
     if any_hit:
-        def _bound(best_key, best_code):
-            pending = jnp.where(best_code < 0, t_max[None, :], 0.0)
+        def _bound(best):
+            pending = jnp.where(best[1] < 0, t_max[None, :], 0.0)
             b = jnp.max(jax.lax.bitcast_convert_type(pending, jnp.int32))
             return jnp.minimum((b + mask) & ~mask, done_th)
     else:
-        def _bound(best_key, best_code):
-            b = jnp.max(best_key) | sl_mask
-            return jnp.minimum((b + mask) & ~mask, done_th)
+        def _bound(best):
+            # pairs: the bound anchors on the ROBUST slot — a proven
+            # hit the search may legitimately stop beyond. Anchoring on
+            # the margined best would let a margin-limbo impostor (e.g.
+            # a bounce ray's own source face at bf16 t̂ ≈ +1e-5, exact
+            # t < 0) stop the tile before the true winner's cluster is
+            # ever tested.
+            b = (jnp.max(best[4 if len(best) == 6 else 0]) | sl_mask)
+            return jnp.minimum((b + binfl + mask) & ~mask, done_th)
 
     if hbm:
         b_scratch, dma_sem = scratch  # (2, 16, 4S) VMEM, DMA sems (2,)
@@ -241,13 +414,13 @@ def _kernel_one_tile(
 
     def cond(state):
         if hbm:
-            return state[6]  # cur_valid: a fetched block awaits processing
-        keys, k_cur, best_key, best_code, bound = state
+            return state[5]  # cur_valid: a fetched block awaits processing
+        keys, k_cur, best, bound = state
         return (k_cur & ~mask) < bound
 
     def body(state):
         if hbm:
-            keys, k_cur, best_key, best_code, bound, slot, _valid = state
+            keys, k_cur, best, bound, slot, _valid = state
             cid = k_cur & mask
             # the block for `cid` was prefetched into `slot` last round;
             # pick + prefetch the NEXT block while this round's matmul
@@ -265,9 +438,29 @@ def _kernel_one_tile(
 
             b = b_scratch[slot]
         else:
-            keys, k_cur, best_key, best_code, bound = state
+            keys, k_cur, best, bound = state
             cid = k_cur & mask
-            b = matb_ref[cid]  # (16, 4S)
+            # gang > 1: drain up to K shortlist entries this round (the
+            # first is guaranteed in-bound by the loop cond; later picks
+            # beyond the bound — which only ever shrinks, so they can
+            # never become useful — duplicate pick 0, whose identical
+            # keys the epilogue's equality masking disarms)
+            cids = [cid]
+            keys = jnp.where(keys == k_cur, jnp.int32(0x7FFFFFFF), keys)
+            k_cur = jnp.min(keys)
+            for _ in range(1, gang):
+                take_k = (k_cur & ~mask) < bound
+                cids.append(jnp.where(take_k, k_cur & mask, cid))
+                keys = jnp.where(
+                    take_k & (keys == k_cur), jnp.int32(0x7FFFFFFF), keys
+                )
+                k_cur = jnp.min(keys)
+            if gang == 1:
+                b = matb_ref[cid]  # (16, 4S)
+            else:
+                b = jnp.concatenate(
+                    [matb_ref[c] for c in cids], axis=-1
+                )  # (16, 4S·K)
         b_hi = b.astype(jnp.bfloat16)
         b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         out = (
@@ -275,22 +468,46 @@ def _kernel_one_tile(
             + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
             + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
         )
-        best_key, best_code = _round_pick(
-            out, best_key, best_code, cid,
-            n_s=n_s, iota_s=iota_s, sl_mask=sl_mask, approx_div=approx_div,
+        out_mag = (
+            jnp.dot(
+                jnp.abs(a_hi), jnp.abs(b_hi),
+                preferred_element_type=jnp.float32,
+            )
+            if pairs
+            else None
         )
-        bound = _bound(best_key, best_code)
         if hbm:
-            return keys, k_nxt, best_key, best_code, bound, 1 - slot, nxt_valid
-        keys = jnp.where(keys == k_cur, jnp.int32(0x7FFFFFFF), keys)
-        return keys, jnp.min(keys), best_key, best_code, bound
+            n_gang, cids = 1, [cid]
+        else:
+            n_gang = gang
+        outs = [out[:, k * 4 * n_s : (k + 1) * 4 * n_s] for k in range(n_gang)]
+        mags = [
+            out_mag[:, k * 4 * n_s : (k + 1) * 4 * n_s]
+            if pairs
+            else None
+            for k in range(n_gang)
+        ]
+        best = _round_pick(
+            outs, mags, cids, best,
+            n_s=n_s, iota_gs=iota_gs, sl_mask=sl_mask, p_bits=p_bits,
+            approx_div=approx_div,
+        )
+        bound = _bound(best)
+        if hbm:
+            return keys, k_nxt, best, bound, 1 - slot, nxt_valid
+        return keys, k_cur, best, bound
 
     best_key0 = (
         jax.lax.bitcast_convert_type(t_max[None, :], jnp.int32) & ~sl_mask
     )
     code0 = jnp.full((1, t_dim), -1, jnp.int32)
-    bound0 = _bound(best_key0, code0)
-    base_init = (keys0, k0, best_key0, code0, bound0)
+    best0 = (
+        (best_key0, code0, best_key0, code0, best_key0, code0)
+        if pairs
+        else (best_key0, code0)
+    )
+    bound0 = _bound(best0)
+    base_init = (keys0, k0, best0, bound0)
     if hbm:
         # warm-up: prefetch the first block (when any work exists)
         valid0 = (k0 & ~mask) < bound0
@@ -300,11 +517,10 @@ def _kernel_one_tile(
             _dma(0, k0 & mask).start()
 
         out = jax.lax.while_loop(cond, body, base_init + (0, valid0))
-        best_key, best_code = out[2], out[3]
+        best = out[2]
     else:
-        _, _, best_key, best_code, _ = jax.lax.while_loop(
-            cond, body, base_init
-        )
+        _, _, best, _ = jax.lax.while_loop(cond, body, base_init)
+    best_key, best_code = best[0], best[1]
     # unpack: winners get t truncated to the key granularity; untouched
     # lanes report their exact t_max (miss sentinel semantics preserved)
     out_t_ref[g] = jnp.where(
@@ -313,6 +529,9 @@ def _kernel_one_tile(
         t_max[None, :],
     )
     out_code_ref[g] = best_code
+    if pairs:
+        out_code2_ref[g] = best[3]
+        out_code3_ref[g] = best[5]
 
 
 def _kernel_two_level(
@@ -322,15 +541,14 @@ def _kernel_two_level(
     matb_ref,  # (C, 16, 4S) cluster matrices (HBM; C = C2*G with pads)
     out_t_ref,  # (1, 1, T)
     out_code_ref,  # (1, 1, T) int32: winning cid * S + slot (-1 = miss)
-    b_scratch,  # (2, 16, 4S) VMEM
-    dma_sem,  # DMA sems (2,)
-    *,
+    *rest,  # pairs: out_code{2,3}_ref (1, 1, T); then b_scratch, dma_sem
     n_s: int,
     g: int,
     sid_bits: int,
     j_bits: int,
     any_hit: bool = False,
     approx_div: bool = False,
+    pairs: bool = False,
 ):
     """Two-level variant of :func:`_kernel` for large scenes: an outer
     near-ordered loop over supercluster boxes (tested at the XLA level)
@@ -340,6 +558,10 @@ def _kernel_two_level(
     scaling wall of BASELINE config #5. Key packing, bit-exact epilogue,
     and the conservative int-key t-prune bound are identical to
     :func:`_kernel`."""
+    if pairs:
+        out_code2_ref, out_code3_ref, b_scratch, dma_sem = rest
+    else:
+        out_code2_ref, out_code3_ref, (b_scratch, dma_sem) = None, None, rest
     a = a_ref[0]  # (T, 16)
     t_dim = a.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
@@ -372,15 +594,22 @@ def _kernel_two_level(
     ) | iota_c2
     sk0 = jnp.min(skeys0)
 
+    # bf16-underestimate inflation of the prune bound in pairs mode —
+    # see _kernel_one_tile's binfl comment
+    binfl = (1 << 9) if pairs else 0
+
     if any_hit:
-        def _bound_raw(best_key, best_code):
-            pending = jnp.where(best_code < 0, t_max[None, :], 0.0)
+        def _bound_raw(best):
+            pending = jnp.where(best[1] < 0, t_max[None, :], 0.0)
             return jnp.max(jax.lax.bitcast_convert_type(pending, jnp.int32))
     else:
-        def _bound_raw(best_key, best_code):
+        def _bound_raw(best):
             # `| sl_mask` restores the truncated LSBs to an upper bound
-            # of the true best t (conservative prune)
-            return jnp.max(best_key) | sl_mask
+            # of the true best t (conservative prune); pairs mode
+            # anchors on the ROBUST slot — see _kernel_one_tile._bound
+            return (
+                jnp.max(best[4 if len(best) == 6 else 0]) | sl_mask
+            ) + binfl
 
     def _bound_s(b):
         return jnp.minimum((b + smask) & ~smask, done_s)
@@ -394,10 +623,10 @@ def _kernel_two_level(
         )
 
     def inner_cond(state):
-        return state[6]  # cur_valid
+        return state[5]  # cur_valid
 
     def inner_body(state):
-        ckeys, ck_cur, best_key, best_code, bound, slot, _valid, sid = state
+        ckeys, ck_cur, best, bound, slot, _valid, sid = state
         j = ck_cur & jmask
         cid = sid * g + j
         _dma(slot, cid).wait()
@@ -417,22 +646,28 @@ def _kernel_two_level(
             + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
             + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
         )
-        best_key, best_code = _round_pick(
-            out, best_key, best_code, cid,
-            n_s=n_s, iota_s=iota_s, sl_mask=sl_mask, approx_div=approx_div,
+        out_mag = (
+            jnp.dot(
+                jnp.abs(a_hi), jnp.abs(b_hi),
+                preferred_element_type=jnp.float32,
+            )
+            if pairs
+            else None
         )
-        bound = _bound_raw(best_key, best_code)
-        return (
-            ckeys, ck_nxt, best_key, best_code, bound, 1 - slot, nxt_valid,
-            sid,
+        best = _round_pick(
+            [out], [out_mag if pairs else None], [cid], best,
+            n_s=n_s, iota_gs=iota_s, sl_mask=sl_mask,
+            p_bits=sl_bits, approx_div=approx_div,
         )
+        bound = _bound_raw(best)
+        return (ckeys, ck_nxt, best, bound, 1 - slot, nxt_valid, sid)
 
     def outer_cond(state):
-        skeys, sk_cur, best_key, best_code, bound = state
+        skeys, sk_cur, best, bound = state
         return (sk_cur & ~smask) < _bound_s(bound)
 
     def outer_body(state):
-        skeys, sk_cur, best_key, best_code, bound = state
+        skeys, sk_cur, best, bound = state
         sid = sk_cur & smask
         cb = cbox_ref[sid]  # (8, G)
         near = jnp.full((t_dim, g), -_INF, jnp.float32)
@@ -462,33 +697,43 @@ def _kernel_two_level(
         inner = jax.lax.while_loop(
             inner_cond,
             inner_body,
-            (ckeys, ck0, best_key, best_code, bound, 0, cvalid0, sid),
+            (ckeys, ck0, best, bound, 0, cvalid0, sid),
         )
-        best_key, best_code, bound = inner[2], inner[3], inner[4]
+        best, bound = inner[2], inner[3]
         skeys = jnp.where(skeys == sk_cur, jnp.int32(0x7FFFFFFF), skeys)
-        return skeys, jnp.min(skeys), best_key, best_code, bound
+        return skeys, jnp.min(skeys), best, bound
 
     best_key0 = (
         jax.lax.bitcast_convert_type(t_max[None, :], jnp.int32) & ~sl_mask
     )
     code0 = jnp.full((1, t_dim), -1, jnp.int32)
-    bound0 = _bound_raw(best_key0, code0)
-    out = jax.lax.while_loop(
-        outer_cond, outer_body, (skeys0, sk0, best_key0, code0, bound0)
+    best0 = (
+        (best_key0, code0, best_key0, code0, best_key0, code0)
+        if pairs
+        else (best_key0, code0)
     )
+    bound0 = _bound_raw(best0)
+    out = jax.lax.while_loop(
+        outer_cond, outer_body, (skeys0, sk0, best0, bound0)
+    )
+    best = out[2]
     out_t_ref[0] = jnp.where(
-        out[3] >= 0,
-        jax.lax.bitcast_convert_type(out[2] & ~sl_mask, jnp.float32),
+        best[1] >= 0,
+        jax.lax.bitcast_convert_type(best[0] & ~sl_mask, jnp.float32),
         t_max[None, :],
     )
-    out_code_ref[0] = out[3]
+    out_code_ref[0] = best[1]
+    if pairs:
+        out_code2_ref[0] = best[3]
+        out_code3_ref[0] = best[5]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "tile", "interpret", "any_hit", "derive_uv", "kernel_near",
-        "tiles_per_step", "approx_div",
+        "tiles_per_step", "approx_div", "exact_pairs", "raw_pair",
+        "gang", "gang_frac",
     ),
 )
 def trace_closest_clustered_pallas(
@@ -504,6 +749,10 @@ def trace_closest_clustered_pallas(
     kernel_near: bool = False,
     tiles_per_step: int = 1,
     approx_div: bool = False,
+    exact_pairs: bool = True,
+    raw_pair: bool = False,
+    gang: int = 0,
+    gang_frac: int = 8,
 ) -> Hit:
     """Drop-in closest-hit using the Pallas tile kernel. With ``any_hit``
     the per-tile rounds stop as soon as every live ray has found *some*
@@ -511,13 +760,30 @@ def trace_closest_clustered_pallas(
     rayIntersectBVHAnyHit, render.ts:468-480); the returned t is then any
     valid hit, not necessarily the closest. ``tiles_per_step`` > 1 folds
     several ray tiles into one grid step (single-level kernel only) to
-    amortize the fixed per-step cost; results are bit-identical."""
+    amortize the fixed per-step cost; results are bit-identical.
+
+    ``exact_pairs`` (closest-hit only) carries the kernel's TOP-2
+    candidates out and re-adjudicates them with exact f32
+    Möller–Trumbore (:func:`adjudicate_pair`), with margin-widened
+    in-kernel validity gates so bf16-knife-edge true winners are never
+    dropped — the production TPU path then matches the exact-arithmetic
+    path everywhere except double-knife-edge cases (two wrong candidates
+    ahead of the true winner). ``raw_pair`` returns the raw
+    ``(t, face1, face2)`` triple (sorted-trace callers adjudicate in
+    original ray order after unsorting)."""
     ct: ClusterTables = tables.clusters
     r0 = o.shape[0]
     if active is None:
         active = jnp.ones((r0,), bool)
-    two_level_early = ct.super_box is not None
-    step = tile * (1 if two_level_early else max(1, tiles_per_step))
+    # the two-level kernel pins the whole (C2, 8, G) child-box table in
+    # VMEM; past the budget (~4 bytes x 8 x C clusters) fall back to the
+    # single-level HBM-streaming path instead of failing to compile
+    # (ct.box always carries all C cluster boxes, pads inverted-empty)
+    two_level = (
+        ct.super_box is not None
+        and int(ct.child_box_t.size) * 4 <= 8 * 1024 * 1024
+    )
+    step = tile * (1 if two_level else max(1, tiles_per_step))
     if r0 % step:
         pad = step - r0 % step
         o = jnp.concatenate([o, jnp.ones((pad, 3), o.dtype)], axis=0)
@@ -530,7 +796,6 @@ def trace_closest_clustered_pallas(
 
     c = ct.n_clusters
     s = ct.face_id.shape[1]
-    two_level = ct.super_box is not None
     # lane-dim padding for the near vector (supers when two-level)
     n_boxes = ct.super_box.shape[0] if two_level else c
     cp = max(128, -(-n_boxes // 128) * 128)
@@ -584,6 +849,7 @@ def trace_closest_clustered_pallas(
             batch_size=max(1, min(n_tiles, 16_777_216 // (tile * cp))),
         ).reshape(n_tiles, 1, cp)
 
+    pairs = exact_pairs and not any_hit
     g_step = 1 if two_level else max(1, min(tiles_per_step, n_tiles))
     grid = (n_tiles // g_step,)
     # enough mantissa-LSB bits to carry any (padded) box id in the key
@@ -591,6 +857,10 @@ def trace_closest_clustered_pallas(
     out_shape = (
         jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.float32),
         jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.int32),
+    ) + (
+        (jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.int32),) * 2
+        if pairs
+        else ()
     )
     row_spec = pl.BlockSpec(
         (g_step, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -612,8 +882,9 @@ def trace_closest_clustered_pallas(
             j_bits=max(1, (g - 1).bit_length()),
             any_hit=any_hit,
             approx_div=approx_div,
+            pairs=pairs,
         )
-        best_t, best_code = pl.pallas_call(
+        outs = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
@@ -624,7 +895,8 @@ def trace_closest_clustered_pallas(
                 ),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=(row_spec, row_spec),
+            out_specs=(row_spec, row_spec)
+            + ((row_spec,) * 2 if pairs else ()),
             out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((2, 16, 4 * s), jnp.float32),
@@ -633,14 +905,6 @@ def trace_closest_clustered_pallas(
             interpret=interpret,
         )(a_mat, near_tc.reshape(n_tiles, 1, cp), ct.child_box_t, matb)
     else:
-        kernel = functools.partial(
-            _kernel, n_s=s, cid_bits=cid_bits, any_hit=any_hit, hbm=hbm,
-            in_near=in_near, approx_div=approx_div,
-        )
-        if in_near:
-            near_spec = pl.BlockSpec(
-                (1, 8, cp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
-            )
         if hbm:
             matb_spec = pl.BlockSpec(memory_space=pl.ANY)
             scratch_shapes = [
@@ -652,24 +916,103 @@ def trace_closest_clustered_pallas(
                 (c, 16, 4 * s), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
             )
             scratch_shapes = []
-        best_t, best_code = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[a_spec, near_spec, matb_spec],
-            out_specs=(row_spec, row_spec),
-            out_shape=out_shape,
-            scratch_shapes=scratch_shapes,
-            interpret=interpret,
-        )(a_mat, near_tc, matb)
+
+        def run_single(a_in, near_in, gs, gang_n):
+            n_t = a_in.shape[0]
+            kernel = functools.partial(
+                _kernel, n_s=s, cid_bits=cid_bits, any_hit=any_hit,
+                hbm=hbm, in_near=in_near, approx_div=approx_div,
+                pairs=pairs, gang=gang_n,
+            )
+            rs = pl.BlockSpec(
+                (gs, 1, tile), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            asp = pl.BlockSpec(
+                (gs, tile, 16), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            if in_near:
+                nsp = pl.BlockSpec(
+                    (1, 8, cp), lambda i: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            else:
+                nsp = pl.BlockSpec(
+                    (gs, 1, cp), lambda i: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            osh = (
+                jax.ShapeDtypeStruct((n_t, 1, tile), jnp.float32),
+                jax.ShapeDtypeStruct((n_t, 1, tile), jnp.int32),
+            ) + (
+                (jax.ShapeDtypeStruct((n_t, 1, tile), jnp.int32),) * 2
+                if pairs
+                else ()
+            )
+            return pl.pallas_call(
+                kernel,
+                grid=(n_t // gs,),
+                in_specs=[asp, nsp, matb_spec],
+                out_specs=(rs, rs) + ((rs,) * 2 if pairs else ()),
+                out_shape=osh,
+                scratch_shapes=scratch_shapes,
+                interpret=interpret,
+            )(a_in, near_in, matb)
+
+        # Miss-tail gang partition: per-tile shortlist unions are wildly
+        # skewed (p50 = 1 round, p99 ≈ 200 — tiles holding true-miss
+        # rays, whose prune bound never drops, carry ~half of ALL
+        # rounds). Sorting tiles by union size and running the heaviest
+        # 1/gang_frac through a gang-of-K round loop cuts their serial
+        # round count ~K× at near-constant total epilogue work (their
+        # prune rarely fires, so the ganged clusters were going to be
+        # processed anyway). Light tiles keep the one-cluster rounds
+        # where the prune's early exit does the winning.
+        n_heavy = 0
+        if gang >= 2 and not hbm and not in_near and not any_hit:
+            n_heavy = (n_tiles // max(2, gang_frac) // g_step) * g_step
+        if n_heavy >= 1 and n_tiles - n_heavy >= g_step:
+            counts = jnp.sum(near_tc[:, 0, :] < _INF, axis=1)
+            order = jnp.argsort(-counts)  # heavy tiles first (stable)
+            inv_order = jnp.argsort(order)
+            a_p = jnp.take(a_mat, order, axis=0)
+            near_p = jnp.take(near_tc, order, axis=0)
+            outs_h = run_single(a_p[:n_heavy], near_p[:n_heavy], 1, gang)
+            outs_n = run_single(
+                a_p[n_heavy:], near_p[n_heavy:], g_step, 1
+            )
+            outs = tuple(
+                jnp.take(
+                    jnp.concatenate([oh, on], axis=0), inv_order, axis=0
+                )
+                for oh, on in zip(outs_h, outs_n)
+            )
+        else:
+            outs = run_single(a_mat, near_tc, g_step, 1)
+    best_t, best_code = outs[0], outs[1]
+
+    def code_to_face(code):
+        return jnp.where(
+            code >= 0,
+            jnp.take(ct.face_id.reshape(-1), jnp.maximum(code, 0)),
+            -1,
+        ).astype(jnp.int32)
 
     best_t = best_t.reshape(r)[:r0]
     code = best_code.reshape(r)[:r0]
-    hit_mask = code >= 0
-    face = jnp.where(
-        hit_mask,
-        jnp.take(ct.face_id.reshape(-1), jnp.maximum(code, 0)),
-        -1,
-    ).astype(jnp.int32)
+    face = code_to_face(code)
+
+    if pairs:
+        face2 = code_to_face(outs[2].reshape(r)[:r0])
+        face3 = code_to_face(outs[3].reshape(r)[:r0])
+        if raw_pair:
+            # sorted-trace callers unsort, then adjudicate in original
+            # ray order (fewer unsort scatters)
+            return best_t, face, face2, face3
+        return adjudicate_candidates(
+            o[:r0], d[:r0], t_max[:r0], (face, face2, face3), tables
+        )
 
     if any_hit or not derive_uv:
         # shadow-ray callers only consume the hit flag, and sorted-trace
@@ -696,20 +1039,109 @@ def rederive_uv(
     regardless of the kernel's in-round representation (packed-key slot
     truncation, optional approx reciprocal); misses keep the incoming
     t (the t_max sentinel)."""
+    from .strictf import scross, sdot3
+
     hit_mask = face >= 0
     tri = jnp.take(tables.tri, jnp.maximum(face, 0), axis=0)
     p0, e1, e2 = tri[:, 0:3], tri[:, 3:6], tri[:, 6:9]
-    hvec = jnp.cross(d, e2)
-    det = jnp.sum(e1 * hvec, axis=-1)
+    hvec = scross(d, e2)
+    det = sdot3(e1, hvec)
     svec = o - p0
-    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
-    u = jnp.sum(svec * hvec, axis=-1) * inv_det
-    qvec = jnp.cross(svec, e1)
-    v = jnp.sum(d * qvec, axis=-1) * inv_det
-    t_exact = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    # true division, contraction-proof products — WGSL rounding
+    # (render.ts:406-408; ops/strictf.py)
+    det_safe = jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+    u = sdot3(svec, hvec) / det_safe
+    qvec = scross(svec, e1)
+    v = sdot3(d, qvec) / det_safe
+    t_exact = sdot3(e2, qvec) / det_safe
     return Hit(
         t=jnp.where(hit_mask, t_exact, t),
         u=jnp.where(hit_mask, u, 0.0),
         v=jnp.where(hit_mask, v, 0.0),
         face=face,
     )
+
+
+def adjudicate_candidates(
+    o: jnp.ndarray,  # (R, 3)
+    d: jnp.ndarray,  # (R, 3)
+    t_fallback: jnp.ndarray,  # (R,) the segment's t_max (miss sentinel)
+    faces,  # tuple of (R,) i32 candidate faces, nearest-ish first (-1 = none)
+    tables,
+) -> Hit:
+    """Exact f32 re-adjudication of the kernel's carried candidates.
+
+    Each candidate face is re-evaluated with the exact classic
+    Möller–Trumbore test under the reference's validity semantics
+    (backface/parallel cull ``det < EPSILON²``, barycentrics tested
+    against det before the division, strict t interval — render.ts:
+    346-410 and ops/intersect.py, contraction-proof per strictf.py),
+    and the valid candidate with the smallest exact t wins. This erases
+    the kernel's bf16x3/packed-key knife-edge decisions: a
+    margin-accepted false hit is rejected here, a near-tie ordering
+    flip is re-ordered here, and a margin-carried true winner survives.
+    With the kernel's carried set (top-2 margin-ranked + nearest
+    strictly-bf16-valid), a miss now requires THREE independent
+    knife-edge events on one ray.
+    """
+    from .strictf import scross, sdot3
+
+    def eval_face(face):
+        present = face >= 0
+        tri = jnp.take(tables.tri, jnp.maximum(face, 0), axis=0)
+        p0, e1, e2 = tri[:, 0:3], tri[:, 3:6], tri[:, 6:9]
+        h = scross(d, e2)
+        det = sdot3(e1, h)
+        s = o - p0
+        u_num = sdot3(s, h)
+        q = scross(s, e1)
+        v_num = sdot3(d, q)
+        t_num = sdot3(e2, q)
+        culled = det < _EPS2
+        bary_ok = (
+            (u_num >= 0.0)
+            & (u_num <= det)
+            & (v_num >= 0.0)
+            & (u_num + v_num <= det)
+        )
+        # true division — WGSL rounding (render.ts:406-408)
+        det_safe = jnp.where(culled, 1.0, det)
+        t = t_num / det_safe
+        valid = (
+            present
+            & ~culled
+            & bary_ok
+            & (t > MIN_DIST)
+            & (t < t_fallback)
+        )
+        return valid, t, u_num / det_safe, v_num / det_safe
+
+    hit, bt, bu, bv, bf = (
+        jnp.zeros(o.shape[:1], bool),
+        t_fallback,
+        jnp.zeros(o.shape[:1], jnp.float32),
+        jnp.zeros(o.shape[:1], jnp.float32),
+        jnp.full(o.shape[:1], -1, jnp.int32),
+    )
+    for face in faces:
+        v, t, u, w = eval_face(face)
+        # strict < keeps the earlier candidate on exact ties, matching
+        # the reference's first-processed-wins interval semantics
+        take = v & (~hit | (t < bt))
+        bt = jnp.where(take, t, bt)
+        bu = jnp.where(take, u, bu)
+        bv = jnp.where(take, w, bv)
+        bf = jnp.where(take, face, bf)
+        hit = hit | v
+    return Hit(
+        t=jnp.where(hit, bt, t_fallback),
+        u=jnp.where(hit, bu, 0.0),
+        v=jnp.where(hit, bv, 0.0),
+        face=bf.astype(jnp.int32),
+    )
+
+
+def adjudicate_pair(o, d, t_fallback, face1, face2, tables) -> Hit:
+    """Two-candidate convenience wrapper over
+    :func:`adjudicate_candidates` (unit tests / external callers)."""
+    return adjudicate_candidates(o, d, t_fallback, (face1, face2), tables)

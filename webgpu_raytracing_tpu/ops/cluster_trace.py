@@ -156,18 +156,19 @@ def intersect_cluster_block(
         & (v_num >= 0.0)
         & (u_num + v_num <= det)
     )
-    inv_det = 1.0 / jnp.where(valid, det, 1.0)
-    t = t_num * inv_det
+    # true division — WGSL rounding (render.ts:406-408, see intersect.py)
+    det_safe = jnp.where(valid, det, 1.0)
+    t = t_num / det_safe
     valid = valid & (t > MIN_DIST) & (t < best_t[..., None])
 
     t_masked = jnp.where(valid, t, _INF)
     slot = jnp.argmin(t_masked, axis=-1)
     t_best = jnp.take_along_axis(t_masked, slot[..., None], axis=-1)[..., 0]
     u_best = jnp.take_along_axis(
-        u_num * inv_det, slot[..., None], axis=-1
+        u_num / det_safe, slot[..., None], axis=-1
     )[..., 0]
     v_best = jnp.take_along_axis(
-        v_num * inv_det, slot[..., None], axis=-1
+        v_num / det_safe, slot[..., None], axis=-1
     )[..., 0]
     hit = t_best < best_t
     return (
@@ -176,6 +177,83 @@ def intersect_cluster_block(
         v_best,
         jnp.where(hit, slot, -1),
     )
+
+
+def intersect_cluster_block_top2(
+    a: jnp.ndarray,  # (T, 10) ray matrix
+    b: jnp.ndarray,  # (10, 4*S) cluster matrix
+    best_t: jnp.ndarray,  # (T,)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bilinear-form candidate SELECTION only: the slots of the two
+    nearest bilinear-valid triangles per ray (-1 when absent). The exact
+    sequential Möller–Trumbore re-test (same arithmetic order as the
+    WGSL, render.ts:359-409) adjudicates them outside — the same
+    top-2 + exact-re-adjudication mechanism the production Pallas path
+    uses (``exact_pairs``), so the XLA path's knife-edge decisions also
+    match the exact-arithmetic reference semantics."""
+    s = b.shape[-1] // 4
+    out = jnp.dot(a, b, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    det = out[..., 0 * s : 1 * s]
+    t_num = out[..., 1 * s : 2 * s]
+    u_num = out[..., 2 * s : 3 * s]
+    v_num = out[..., 3 * s : 4 * s]
+
+    valid = (
+        (det >= _EPS2)
+        & (u_num >= 0.0)
+        & (u_num <= det)
+        & (v_num >= 0.0)
+        & (u_num + v_num <= det)
+    )
+    t = t_num / jnp.where(valid, det, 1.0)
+    valid = valid & (t > MIN_DIST) & (t < best_t[..., None])
+    t_masked = jnp.where(valid, t, _INF)
+    slot1 = jnp.argmin(t_masked, axis=-1)
+    t1 = jnp.take_along_axis(t_masked, slot1[..., None], axis=-1)[..., 0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, t_masked.shape, 1)
+    t_masked2 = jnp.where(iota == slot1[..., None], _INF, t_masked)
+    slot2 = jnp.argmin(t_masked2, axis=-1)
+    t2 = jnp.take_along_axis(t_masked2, slot2[..., None], axis=-1)[..., 0]
+    return (
+        jnp.where(t1 < _INF, slot1, -1),
+        jnp.where(t2 < _INF, slot2, -1),
+    )
+
+
+def _exact_face_eval(o, d, tri, present, t_bound):
+    """Exact sequential Möller–Trumbore under the reference's semantics
+    (render.ts:359-409): cull, barycentric gates against det, true
+    division (vec3(t,u,v)/det), strict t interval vs the running best.
+    Contraction-proof arithmetic (ops/strictf.py) so decisions match
+    the scalar reference bit-for-bit under jit."""
+    from .strictf import scross, sdot3
+
+    p0, e1, e2 = tri[:, 0:3], tri[:, 3:6], tri[:, 6:9]
+    h = scross(d, e2)
+    det = sdot3(e1, h)
+    sv = o - p0
+    u_num = sdot3(sv, h)
+    q = scross(sv, e1)
+    v_num = sdot3(d, q)
+    t_num = sdot3(e2, q)
+    culled = det < _EPS2
+    bary_ok = (
+        (u_num >= 0.0)
+        & (u_num <= det)
+        & (v_num >= 0.0)
+        & (u_num + v_num <= det)
+    )
+    det_safe = jnp.where(culled, 1.0, det)
+    t = t_num / det_safe
+    valid = (
+        present
+        & ~culled
+        & bary_ok
+        & (t > MIN_DIST)
+        & (t < t_bound)
+    )
+    return valid, t, u_num / det_safe, v_num / det_safe
 
 
 def _boxes_near(
@@ -263,6 +341,8 @@ def trace_closest_clustered(
         # beat some ray's current best (closest) / first hit (any)
         return jnp.any(jnp.min(near_tc, axis=1) < _tile_bound(best_t, best_slot))
 
+    fid_flat = ct.face_id.reshape(-1)
+
     def body(state):
         near_tc, best_t, best_u, best_v, best_slot, best_cid = state
         cid = jnp.argmin(near_tc, axis=1)  # (n_tiles,)
@@ -270,23 +350,43 @@ def trace_closest_clustered(
         tile_act = cnear < _tile_bound(best_t, best_slot)  # (n_tiles,)
 
         b = jnp.take(ct.mat_b, cid, axis=0)  # (n_tiles, 10, 4S)
-        t_new, u_new, v_new, slot = jax.vmap(intersect_cluster_block)(
+        # bilinear-form candidate selection (MXU work), exact sequential
+        # re-adjudication of the top-2 (same mechanism as the Pallas
+        # path's exact_pairs) — knife-edge decisions then match the
+        # reference's arithmetic, not the matmul decomposition's
+        slot1, slot2 = jax.vmap(intersect_cluster_block_top2)(
             a_mat, b, best_t.reshape(n_tiles, tile)
         )
-        improved = (slot >= 0) & tile_act[:, None]
-        best_t = jnp.where(
-            improved, t_new, best_t.reshape(n_tiles, tile)
-        ).reshape(r)
-        best_u = jnp.where(improved.reshape(r), u_new.reshape(r), best_u)
-        best_v = jnp.where(improved.reshape(r), v_new.reshape(r), best_v)
+        cid_r = jnp.broadcast_to(cid[:, None], (n_tiles, tile)).reshape(r)
+        slot1 = slot1.reshape(r)
+        slot2 = slot2.reshape(r)
+
+        def tri_of(slot):
+            f = jnp.where(slot >= 0, cid_r * s + jnp.maximum(slot, 0), 0)
+            return jnp.take(
+                tables.tri,
+                jnp.take(fid_flat, f),
+                axis=0,
+            )
+
+        v1, t1, u1, w1 = _exact_face_eval(
+            o, d, tri_of(slot1), slot1 >= 0, best_t
+        )
+        v2, t2, u2, w2 = _exact_face_eval(
+            o, d, tri_of(slot2), slot2 >= 0, best_t
+        )
+        pick2 = v2 & (~v1 | (t2 < t1))
+        improved = (
+            (v1 | v2)
+            & jnp.broadcast_to(tile_act[:, None], (n_tiles, tile)).reshape(r)
+        )
+        best_t = jnp.where(improved, jnp.where(pick2, t2, t1), best_t)
+        best_u = jnp.where(improved, jnp.where(pick2, u2, u1), best_u)
+        best_v = jnp.where(improved, jnp.where(pick2, w2, w1), best_v)
         best_slot = jnp.where(
-            improved.reshape(r), slot.reshape(r), best_slot
+            improved, jnp.where(pick2, slot2, slot1), best_slot
         )
-        best_cid = jnp.where(
-            improved.reshape(r),
-            jnp.broadcast_to(cid[:, None], (n_tiles, tile)).reshape(r),
-            best_cid,
-        )
+        best_cid = jnp.where(improved, cid_r, best_cid)
         # mark processed (also for inactive tiles: their nearest cluster
         # can never matter again, since max_best only decreases)
         near_tc = near_tc.at[jnp.arange(n_tiles), cid].set(_INF)

@@ -63,6 +63,7 @@ def _trace_closest(o, d, t_max, tables, settings, active=None, sort=False):
     use_sort = sort and settings.sort_bounce_rays
     if backend in ("pallas", "pallas_interpret"):
         from .cluster_pallas import (
+            adjudicate_candidates,
             rederive_uv,
             trace_closest_clustered_pallas,
         )
@@ -72,6 +73,10 @@ def _trace_closest(o, d, t_max, tables, settings, active=None, sort=False):
             interpret=backend == "pallas_interpret",
             tile=settings.trace_tile,
             tiles_per_step=settings.tiles_per_step,
+            approx_div=settings.approx_div,
+            exact_pairs=settings.exact_pairs,
+            gang=settings.trace_gang,
+            gang_frac=settings.trace_gang_frac,
             # sorted path: re-derive u/v after unsorting (2 fewer unsort
             # scatters; the algebra only needs original-order o/d/face)
             derive_uv=not use_sort,
@@ -88,7 +93,25 @@ def _trace_closest(o, d, t_max, tables, settings, active=None, sort=False):
     if use_sort:
         from .ray_sort import sorted_trace
 
-        if backend == "pallas":
+        if backend in ("pallas", "pallas_interpret"):
+            if settings.exact_pairs:
+                # unsort only the carried candidate faces (one packed
+                # scatter); the exact re-adjudication runs in original
+                # ray order where o/d/t_max need no unsort
+                def tf(o_, d_, tm_, tb_, act_):
+                    _, f1, f2, f3 = fn(
+                        o_, d_, tm_, tb_, act_, raw_pair=True
+                    )
+                    return f1, f2, f3
+
+                cands = sorted_trace(tf, o, d, t_max, tables, active)
+                tm_eff = (
+                    t_max
+                    if active is None
+                    else jnp.where(active, t_max, 0.0)
+                )
+                return adjudicate_candidates(o, d, tm_eff, cands, tables)
+
             # unsort only (t, face) — u/v are zeros on the derive_uv=False
             # path, and scattering constants back is wasted HBM traffic
             def tf(o_, d_, tm_, tb_, act_):
@@ -147,13 +170,39 @@ def _bitcast_f32(x):
 
 
 def offset_ray(p: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
-    """Self-intersection-safe point offset along the geometric normal,
-    after Ray Tracing Gems ch. 6 (the technique the reference cites at
-    render.ts:871-875). NOTE: the reference's WGSL (render.ts:905-917) has
-    both of the paper's ``select`` conditions inverted — a bug that offsets
-    tiny-|p| points in the wrong direction; this implements the paper's
-    (correct) version, which only changes epsilon-scale self-intersection
-    behavior, not the converged image."""
+    """Self-intersection-safe point offset along the geometric normal —
+    the reference's WGSL VERBATIM (render.ts:905-917), which has both of
+    the Ray-Tracing-Gems ch. 6 ``select`` conditions inverted relative
+    to the paper it cites (render.ts:871-875).
+
+    The inversion is replicated deliberately (it was "fixed" in round 1,
+    reverted in round 3): for a hit point with a component that is
+    EXACTLY ±0.0 and an offset of the opposite sign, the int path
+    computes ``bitcast<f32>(0 - ofI)`` = NaN — the reference then traces
+    a NaN-origin ray, every box/triangle test fails, and the path falls
+    through to the skybox. That event is not epsilon-rare on this scene
+    (axis-crossing walls produce exact-zero components at ~1e-3/segment
+    rates), so matching the reference's image at equal spp REQUIRES
+    reproducing it bit-for-bit. NaN origins are miss-everything in every
+    backend here (slab/MT/bilinear gates all compare false), which is
+    exactly the reference's behavior.
+
+    :func:`offset_ray_paper` keeps the paper's (correct) version for
+    comparison/tests."""
+    from .strictf import smul
+
+    of_i = (_INT_SCALE * n).astype(jnp.int32)  # vec3i() truncs toward 0
+    p_int = _bitcast_f32(
+        _bitcast_i32(p) + jnp.where(p < 0.0, of_i, -of_i)
+    )
+    p_float = p + smul(jnp.float32(_FLOAT_SCALE), n)
+    return jnp.where(jnp.abs(p) < _ORIGIN, p_int, p_float)
+
+
+def offset_ray_paper(p: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """The Ray Tracing Gems ch. 6 version as published (both selects the
+    paper's way round) — NOT reference behavior; kept for tests and as
+    documentation of the reference bug."""
     of_i = (_INT_SCALE * n).astype(jnp.int32)
     p_int = _bitcast_f32(
         _bitcast_i32(p) + jnp.where(p < 0.0, -of_i, of_i)
@@ -163,11 +212,16 @@ def offset_ray(p: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
 
 
 def face_point(tri_row: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
-    """facePoint (render.ts:876-882): p0 + e1*u + e2*v from barycentrics."""
+    """facePoint (render.ts:876-882): p0 + e1*u + e2*v from barycentrics.
+    Strict products (ops/strictf.py): the result's exact-zero components
+    drive offsetRay's NaN behaviour — parity needs bit-equality."""
+    from .strictf import szero
+
+    z = szero()
     p0 = tri_row[..., 0:3]
     e1 = tri_row[..., 3:6]
     e2 = tri_row[..., 6:9]
-    return p0 + e1 * u[..., None] + e2 * v[..., None]
+    return (p0 + (e1 * u[..., None] + z)) + (e2 * v[..., None] + z)
 
 
 def face_point_offset(tri_row, shade_row, u, v):
@@ -180,13 +234,18 @@ def face_point_offset(tri_row, shade_row, u, v):
 
 def face_normal(shade_row, u, v, shading: ShadingType):
     """faceNormal (render.ts:891-900). Phong interpolation does NOT
-    normalize (parity with the WGSL)."""
+    normalize (parity with the WGSL). Strict products (strictf.py)."""
     if shading == ShadingType.PHONG:
+        from .strictf import szero
+
+        z = szero()
         n0 = shade_row[..., 3:6]
         n1 = shade_row[..., 6:9]
         n2 = shade_row[..., 9:12]
         w = (1.0 - u - v)[..., None]
-        return n0 * w + n1 * u[..., None] + n2 * v[..., None]
+        return (
+            (n0 * w + z) + (n1 * u[..., None] + z)
+        ) + (n2 * v[..., None] + z)
     return shade_row[..., 0:3]
 
 
@@ -325,7 +384,13 @@ def path_trace(
         mat = jnp.take(tables.face_material, face, axis=0)
         emission = jnp.take(tables.mat_emission, mat, axis=0)
         albedo = jnp.take(tables.mat_color, mat, axis=0)
-        color = jnp.where(h[..., None], color + emission * throughput, color)
+        # strict mul (strictf.py): the accumulation is part of the
+        # bit-parity surface vs the scalar reference
+        from .strictf import smul
+
+        color = jnp.where(
+            h[..., None], color + smul(emission, throughput), color
+        )
         throughput = jnp.where(h[..., None], throughput * albedo, throughput)
 
         tri = jnp.take(tables.tri, face, axis=0)
@@ -395,13 +460,15 @@ def path_trace(
         d = jnp.where(alive[..., None], new_d, d)
 
     # the deferred environment contribution (see init above)
+    from .strictf import smul as _smul
+
     env = sample_environment(env_img, env_dir, settings.environment)
     if env_is:
         w_bsdf = balance_weight(
             jnp.maximum(env_mis_pdf, 0.0), env_pdf(dist, env_dir)
         )
         env = env * jnp.where(env_mis_pdf >= 0.0, w_bsdf, 1.0)[..., None]
-    color = color + env * env_w
+    color = color + _smul(env, env_w)
 
     if first_hit is None:
         first_hit = Hit(

@@ -47,21 +47,30 @@ def ray_triangle(
     t_min: jnp.ndarray | float,
     t_max: jnp.ndarray | float,
 ) -> TriangleHit:
-    """Möller–Trumbore with backface culling (render.ts:359-409)."""
-    h = _cross(d, e2)
-    det = _dot(e1, h)
+    """Möller–Trumbore with backface culling (render.ts:359-409).
+
+    Strict (contraction-proof) arithmetic throughout — see
+    ops/strictf.py: FMA fusion under jit flips 1-ulp knife-edge
+    decisions relative to the scalar WGSL-semantics reference."""
+    from .strictf import scross, sdot3
+
+    h = scross(d, e2)
+    det = sdot3(e1, h)
     s = o - p0
-    u = _dot(s, h)
-    q = _cross(s, e1)
-    v = _dot(d, q)
-    t = _dot(e2, q)
+    u = sdot3(s, h)
+    q = scross(s, e1)
+    v = sdot3(d, q)
+    t = sdot3(e2, q)
 
     culled = det < EPSILON * EPSILON
     bary_ok = (u >= 0.0) & (u <= det) & (v >= 0.0) & (u + v <= det)
-    inv_det = 1.0 / jnp.where(culled, 1.0, det)
-    tt = t * inv_det
-    uu = u * inv_det
-    vv = v * inv_det
+    # true division per component — the WGSL divides vec3f(t, u, v)/det
+    # (render.ts:406-408); a reciprocal-multiply rounds twice and can
+    # differ by 1 ulp, flipping strict intervalSurrounds knife edges
+    det_safe = jnp.where(culled, 1.0, det)
+    tt = t / det_safe
+    uu = u / det_safe
+    vv = v / det_safe
     inside = (tt > t_min) & (tt < t_max)  # strict (intervalSurrounds)
     hit = (~culled) & bary_ok & inside
     return TriangleHit(

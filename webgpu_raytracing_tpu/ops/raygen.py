@@ -78,7 +78,7 @@ def camera_rays(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """cameraRay (render.ts:749-765). Returns (origin, direction, state)."""
     viewport = jnp.array(
-        [settings.width, settings.height], dtype=jnp.float32
+        [settings.render_width, settings.render_height], dtype=jnp.float32
     )
     uv = 2.0 * pos - viewport
     if settings.fov_orientation == FovOrientation.VERTICAL:

@@ -142,8 +142,8 @@ def reproject(
     """reproject (render.ts:1064-1117). Returns ((R, 4) color+count with
     0-count meaning rejected, new rng state). Debug tints
     (debug_reprojection) follow the reference's false-coloring."""
-    width = jnp.float32(settings.width)
-    height = jnp.float32(settings.height)
+    width = jnp.float32(settings.render_width)
+    height = jnp.float32(settings.render_height)
     uv = reproject_point(p, frustum, prev_origin)
     inside = (
         (uv[..., 0] >= 0.0)

@@ -86,11 +86,17 @@ def sharded_render_frame(mesh: Mesh, settings: RenderSettings):
     (buffers, rays)`` where buffers are row-sharded and everything else is
     replicated. ``rays`` is psum'd across chips (the one collective)."""
     n = mesh.devices.size
-    if settings.height % n != 0:
+    if settings.geo_height != settings.render_height:
         raise ValueError(
-            f"height {settings.height} must divide evenly over {n} devices"
+            "geometry_buffer_scale != 1 is single-chip only (the G-buffer "
+            "slab partition would be uneven across devices)"
         )
-    rows_per_device = settings.height // n
+    if settings.render_height % n != 0:
+        raise ValueError(
+            f"render height {settings.render_height} must divide evenly "
+            f"over {n} devices"
+        )
+    rows_per_device = settings.render_height // n
 
     def per_device(buffers, tables, env_data, inputs):
         row0 = jax.lax.axis_index("rows").astype(jnp.int32) * rows_per_device
@@ -149,7 +155,10 @@ def render_sharded(
     mesh = mesh or make_mesh()
     fn = sharded_render_frame(mesh, settings)
     buffers = shard_buffers(
-        FrameBuffers.create(settings.width, settings.height), mesh
+        FrameBuffers.create(
+            settings.render_width, settings.render_height
+        ),
+        mesh,
     )
     tables = replicate(scene_tables, mesh)
     env = replicate(jnp.asarray(env_data), mesh)

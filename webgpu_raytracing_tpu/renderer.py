@@ -64,15 +64,22 @@ class FrameBuffers:
     prev_geo_face: jax.Array  # (H, W) i32 — full height
 
     @staticmethod
-    def create(width: int, height: int) -> "FrameBuffers":
+    def create(
+        width: int, height: int, geo_height: int | None = None
+    ) -> "FrameBuffers":
+        """``geo_height`` mirrors the reference's geometryBufferScale
+        allocation (render.ts:141-144): the G-buffer may have fewer rows
+        than the image; out-of-range rows behave as "no data" (the
+        WebGPU robust-access result — see RenderSettings)."""
+        gh = height if geo_height is None else geo_height
         return FrameBuffers(
             image=jnp.zeros((height, width, 4), jnp.float32),
-            geo_position=jnp.zeros((height, width, 3), jnp.float32),
-            geo_face=jnp.full((height, width), -1, jnp.int32),
-            geo_object=jnp.zeros((height, width), jnp.int32),
+            geo_position=jnp.zeros((gh, width, 3), jnp.float32),
+            geo_face=jnp.full((gh, width), -1, jnp.int32),
+            geo_object=jnp.zeros((gh, width), jnp.int32),
             prev_image=jnp.zeros((height, width, 4), jnp.float32),
-            prev_geo_position=jnp.zeros((height, width, 3), jnp.float32),
-            prev_geo_face=jnp.full((height, width), -1, jnp.int32),
+            prev_geo_position=jnp.zeros((gh, width, 3), jnp.float32),
+            prev_geo_face=jnp.full((gh, width), -1, jnp.int32),
         )
 
     def rotated(self) -> "FrameBuffers":
@@ -139,7 +146,7 @@ def render_tile(
     (``seed + idx``, render.ts:1453) are identical however the image is
     sharded across chips.
     """
-    h, w = tile_height, settings.width
+    h, w = tile_height, settings.render_width
     r = h * w
 
     ys, xs = jnp.meshgrid(
@@ -159,13 +166,31 @@ def render_tile(
     clear = (inputs.counter == 0) & (not settings.reproject)
     image = jnp.where(clear, jnp.zeros_like(buffers.image), buffers.image)
 
+    # geometry_buffer_scale < 1 allocates fewer G-buffer rows than the
+    # image (render.ts:144); rows past the allocation read as "no data"
+    # (face -1 / position 0 — the robust-access analog), so pad the prev
+    # snapshots back to full render height for the consumers below
+    gh = buffers.prev_geo_face.shape[0]
+    if gh < settings.render_height:
+        pad_rows = settings.render_height - gh
+        prev_geo_face = jnp.pad(
+            buffers.prev_geo_face, ((0, pad_rows), (0, 0)),
+            constant_values=-1,
+        )
+        prev_geo_position = jnp.pad(
+            buffers.prev_geo_position, ((0, pad_rows), (0, 0), (0, 0))
+        )
+    else:
+        prev_geo_face = buffers.prev_geo_face
+        prev_geo_position = buffers.prev_geo_position
+
     # quad-based hit-distance candidates from the previous G-buffer
     # (render.ts:1121-1141, 1440-1446). Quads are computed over the FULL
     # prev buffer and the slab sliced out after, so 2x2 blocks anchor at
     # global row parity — identical however the image is sharded.
     prev_quads = (
         jax.lax.dynamic_slice(
-            quad_faces(buffers.prev_geo_face),
+            quad_faces(prev_geo_face),
             (row0, jnp.int32(0), jnp.int32(0)),
             (h, w, 4),
         ).reshape(r, 4)
@@ -201,9 +226,12 @@ def render_tile(
     tri = jnp.take(tables.tri, face, axis=0)
     shade = jnp.take(tables.shade_normal, face, axis=0)
     primary_point = face_point_offset(tri, shade, fh.u, fh.v)
-    geo_position = primary_point.reshape(h, w, 3)
-    geo_face = fh.face.reshape(h, w)
-    geo_object = _face_to_object(tables, fh.face).reshape(h, w)
+    # writes past the G-buffer allocation are dropped (bottom rows —
+    # imageIdx = x + y*w — exactly the reference's robust-access no-ops)
+    g_out = buffers.geo_face.shape[0]
+    geo_position = primary_point.reshape(h, w, 3)[:g_out]
+    geo_face = fh.face.reshape(h, w)[:g_out]
+    geo_object = _face_to_object(tables, fh.face).reshape(h, w)[:g_out]
 
     # extra stratified-jittered samples (render.ts:1477-1495)
     for _ in range(settings.sample_count):
@@ -229,7 +257,7 @@ def render_tile(
                 inputs.frustum,
                 inputs.prev_origin,
                 buffers.prev_image,
-                buffers.prev_geo_position,
+                prev_geo_position,
                 settings,
             )
             ok = rp.color[..., 3:4] > 0.0
@@ -251,7 +279,7 @@ def render_tile(
             inputs.frustum,
             inputs.prev_origin,
             buffers.prev_image,
-            buffers.prev_geo_position,
+            prev_geo_position,
             settings,
         )
         image = rp.color.reshape(h, w, 4)
@@ -294,7 +322,7 @@ def render_frame(
     """Single-chip frame: the whole image is one tile."""
     return render_tile(
         buffers, tables, env_data, inputs, jnp.int32(0), settings,
-        settings.height,
+        settings.render_height,
     )
 
 
@@ -315,7 +343,15 @@ def blit(image: jax.Array, prev_image: jax.Array, settings: RenderSettings):
             color = color * settings.exposure
     color = tonemap_gamma(color, 1.0 / settings.gamma)
     color = tonemap_apply(color, settings.tonemapping)
-    return jnp.clip(color, 0.0, 1.0)
+    color = jnp.clip(color, 0.0, 1.0)
+    if color.shape[:2] != (settings.height, settings.width):
+        # resolution_scale != 1: the reference's fullscreen blit stretches
+        # the scaled backing store to the canvas (render.ts:109-113,
+        # 163-183) with the sampler's bilinear filtering
+        color = jax.image.resize(
+            color, (settings.height, settings.width, 3), method="linear"
+        )
+    return color
 
 
 class Renderer:
@@ -347,7 +383,10 @@ class Renderer:
         self.camera = camera or Camera()
         self.counter = 0
         self.frame_counter = 0  # mod reprojectionRate (render.ts:1650)
-        self.buffers = FrameBuffers.create(settings.width, settings.height)
+        self.buffers = FrameBuffers.create(
+            settings.render_width, settings.render_height,
+            settings.geo_height,
+        )
         self._rng = np.random.default_rng(base_seed)
         self.last_rays = 0.0  # rays traced in the last frame (metrics)
         self._prev_view = np.eye(4, dtype=np.float32)
@@ -361,9 +400,13 @@ class Renderer:
         """Setting changes retrace + reset accumulation, like the
         reference's reactive pipeline rebuild (gpu.ts:512-525)."""
         self.settings = self.settings.replace(**kw)
-        if "width" in kw or "height" in kw:
+        if kw.keys() & {
+            "width", "height", "resolution_scale", "geometry_buffer_scale"
+        }:
             self.buffers = FrameBuffers.create(
-                self.settings.width, self.settings.height
+                self.settings.render_width,
+                self.settings.render_height,
+                self.settings.geo_height,
             )
         self.reset()
 
@@ -394,8 +437,8 @@ class Renderer:
         jitter = self._jitter
         frustum = reprojection_frustum(
             self._prev_view,
-            self.settings.width,
-            self.settings.height,
+            self.settings.render_width,
+            self.settings.render_height,
             self.settings.fov,
         )
         view = self.camera.view_matrix()

@@ -254,8 +254,10 @@ def ray_intersect_face(pos, dirn, p0, e1, e2, i_min, i_max):
     if v < f32(0.0) or u + v > det:
         return None
     t = f32(e2.dot(q))
-    inv = f32(f32(1.0) / det)
-    t, u, v = f32(t * inv), f32(u * inv), f32(v * inv)
+    # the WGSL divides the vec3f(t, u, v) by det directly
+    # (render.ts:406-408); a reciprocal-multiply rounds twice and can
+    # differ by 1 ulp, flipping strict intervalSurrounds knife edges
+    t, u, v = f32(t / det), f32(u / det), f32(v / det)
     # intervalSurrounds: min < t < max, strict (render.ts:333-335)
     if not (i_min < t and t < i_max):
         return None
