@@ -28,7 +28,9 @@ import sys as _sys
 _sys.path.insert(0, "tests")
 from test_reference_parity import synthetic_equirect
 
-SIZE = 48
+import os
+
+SIZE = int(os.environ.get("GOLDEN_SIZE", 48))
 FRAMES = 2
 SEEDS = [12345, 987654321]
 
@@ -52,7 +54,7 @@ def main():
         print(f"frame {i}: {time.time() - t0:.1f}s", flush=True)
 
     np.savez_compressed(
-        "tests/golden/wgsl_reference_48x48.npz",
+        f"tests/golden/wgsl_reference_{SIZE}x{SIZE}.npz",
         image=ref.image,
         seeds=np.array(SEEDS[:FRAMES], np.int64),
         size=np.array([SIZE, SIZE]),
@@ -60,7 +62,7 @@ def main():
     )
     spp = ref.image[..., 3:4]
     print("mean spp:", float(spp.mean()))
-    print("saved tests/golden/wgsl_reference_48x48.npz")
+    print(f"saved tests/golden/wgsl_reference_{SIZE}x{SIZE}.npz")
 
 
 if __name__ == "__main__":
