@@ -11,7 +11,10 @@ from webgpu_raytracing_tpu.config import F32_MAX
 from webgpu_raytracing_tpu.models.scene import scene_from_facesets
 from webgpu_raytracing_tpu.models.test_models import ground_plane, uv_sphere
 from webgpu_raytracing_tpu.ops.cluster_pallas import (
+    adjudicate_candidates,
+    adjudicate_compact,
     adjudicate_pair,
+    rederive_uv,
     trace_closest_clustered_pallas,
 )
 from webgpu_raytracing_tpu.ops.traverse import trace_closest
@@ -134,6 +137,68 @@ def test_exact_pairs_matches_oracle_on_grazing_rays(rng_np):
     np.testing.assert_allclose(
         np.asarray(pk.t)[hits], np.asarray(ref.t)[hits], rtol=1e-6
     )
+
+
+def test_adjudicate_compact_equals_dense(rng_np):
+    """The compacted adjudication (kernel amb flag + fixed-capacity
+    subset) must equal the dense 3-candidate adjudication EXACTLY —
+    including when the flag count overflows the capacity (lax.cond
+    fallback) — and the kernel's flag must cover every ray where the
+    dense verdict differs from the carried winner's rederive."""
+    scene = _scene()
+    tables = scene.tables()
+    tri = np.asarray(tables.tri)
+
+    # mix of random rays and a grazing band (knife-edge generator)
+    n_rand = 640
+    o = rng_np.uniform(-3, 3, (n_rand, 3)).astype(np.float32)
+    o[:, 2] = rng_np.uniform(0, 2, n_rand)
+    d = rng_np.normal(size=(n_rand, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    f = 3
+    p0, e1, e2 = tri[f, 0:3], tri[f, 3:6], tri[f, 6:9]
+    nrm = np.cross(e1, e2)
+    nrm /= np.linalg.norm(nrm)
+    s = rng_np.uniform(0.05, 0.95, 384)
+    eps = rng_np.uniform(-2e-5, 2e-5, 384)
+    pts = p0[None, :] + s[:, None] * e1[None, :] + eps[:, None] * e2[None, :]
+    og = (pts + nrm[None, :] * 2.0).astype(np.float32)
+    dg = np.broadcast_to(-nrm, og.shape).astype(np.float32)
+    o = jnp.asarray(np.concatenate([o, og]))
+    d = jnp.asarray(np.concatenate([d, dg]))
+    r = o.shape[0]
+    tmax = jnp.full((r,), F32_MAX, jnp.float32)
+
+    t1, f1, f2, f3, amb = trace_closest_clustered_pallas(
+        o, d, tmax, tables, tile=128, interpret=True, exact_pairs=True,
+        raw_pair=True,
+    )
+    dense = adjudicate_candidates(o, d, tmax, (f1, f2, f3), tables)
+    comp = adjudicate_compact(
+        o, d, tmax, t1, (f1, f2, f3), amb, tables, cap_frac=2
+    )
+    for a, b in zip(comp, dense):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # flag completeness: wherever dense disagrees with the carried
+    # winner's plain rederive, the kernel must have flagged the ray
+    base = rederive_uv(o, d, jnp.where(f1 >= 0, t1, tmax), f1, tables)
+    differs = (np.asarray(base.face) != np.asarray(dense.face)) | (
+        np.abs(np.asarray(base.t) - np.asarray(dense.t)) > 0
+    )
+    assert (np.asarray(amb)[differs] != 0).all()
+    # the flag must be sparse on the benign random prefix (the grazing
+    # band is MEANT to fire ~everywhere — that's the knife-edge zone)
+    assert np.asarray(amb)[:n_rand].mean() < 0.05
+
+    # overflow: force every ray ambiguous; the cond fallback must yield
+    # the dense result bit-for-bit
+    comp_of = adjudicate_compact(
+        o, d, tmax, t1, (f1, f2, f3), jnp.ones((r,), jnp.int32), tables,
+        cap_frac=8,
+    )
+    for a, b in zip(comp_of, dense):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_exact_pairs_full_batch_matches_oracle(rng_np):

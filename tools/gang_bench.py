@@ -35,7 +35,7 @@ from webgpu_raytracing_tpu.config import F32_MAX, RenderSettings
 from webgpu_raytracing_tpu.models.scene import load_scene
 from webgpu_raytracing_tpu.ops import rng
 from webgpu_raytracing_tpu.ops.cluster_pallas import (
-    adjudicate_candidates,
+    adjudicate_compact,
     rederive_uv,
     trace_closest_clustered_pallas,
 )
@@ -117,14 +117,16 @@ def main():
         def run(o, d, tm):
             if exact_pairs:
                 def tf(o_, d_, tm_, tb_, act_):
-                    _, f1, f2, f3 = trace_closest_clustered_pallas(
+                    _, f1, f2, f3, amb = trace_closest_clustered_pallas(
                         o_, d_, tm_, tb_, act_, raw_pair=True,
                         derive_uv=False, **kw,
                     )
-                    return f1, f2, f3
+                    return f1, f2, f3, amb
 
-                cands = sorted_trace(tf, o, d, tm, tables, None)
-                return adjudicate_candidates(o, d, tm, cands, tables)
+                f1, f2, f3, amb = sorted_trace(tf, o, d, tm, tables, None)
+                return adjudicate_compact(
+                    o, d, tm, tm, (f1, f2, f3), amb, tables
+                )
 
             def tf(o_, d_, tm_, tb_, act_):
                 h = trace_closest_clustered_pallas(

@@ -50,6 +50,7 @@ from webgpu_raytracing_tpu.models.scene import load_scene
 from webgpu_raytracing_tpu.ops import rng
 from webgpu_raytracing_tpu.ops.cluster_pallas import (
     adjudicate_candidates,
+    adjudicate_compact,
     trace_closest_clustered_pallas,
 )
 from webgpu_raytracing_tpu.ops.raygen import camera_rays
@@ -237,15 +238,19 @@ def main():
         return adjudicate_candidates(o, d, tm, (f1, f2, f3), tables)
 
     @jax.jit
+    def f_adjud_c(o, d, tm, f1, f2, f3, amb):
+        return adjudicate_compact(o, d, tm, tm, (f1, f2, f3), amb, tables)
+
+    @jax.jit
     def f_leg(o, d, tm):
         def tf(o_, d_, tm_, tb_, act_):
-            _, f1, f2, f3 = trace_closest_clustered_pallas(
+            _, f1, f2, f3, amb = trace_closest_clustered_pallas(
                 o_, d_, tm_, tb_, act_, raw_pair=True, derive_uv=False, **KW
             )
-            return f1, f2, f3
+            return f1, f2, f3, amb
 
-        cands = sorted_trace(tf, o, d, tm, tables, None)
-        return adjudicate_candidates(o, d, tm, cands, tables)
+        f1, f2, f3, amb = sorted_trace(tf, o, d, tm, tables, None)
+        return adjudicate_compact(o, d, tm, tm, (f1, f2, f3), amb, tables)
 
     # pre-computed sorted orders for the kernel-quality probes
     def presort(keyfn, rays):
@@ -290,6 +295,10 @@ def main():
         cases[f"adjud_{lvl}"] = (
             f_adjud,
             [srt[i] + (k[1], k[2], k[3]) for i, k in enumerate(kouts)],
+        )
+        cases[f"adjudc_{lvl}"] = (
+            f_adjud_c,
+            [srt[i] + (k[1], k[2], k[3], k[4]) for i, k in enumerate(kouts)],
         )
         cases[f"leg_{lvl}"] = (f_leg, rays)
 

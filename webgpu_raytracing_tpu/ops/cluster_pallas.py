@@ -159,7 +159,14 @@ def _round_pick(
         else:
             inv_det = 1.0 / det_safe
         t = t_num * inv_det
-        ts.append(jnp.where(valid & (t > MIN_DIST), t, _INF))
+        # invalid sentinel = IEEE inf, NOT F32_MAX: the t_max init key is
+        # bitcast(t_max) truncated, and an F32_MAX sentinel's truncated
+        # key EQUALS it for t_max = F32_MAX rays — the tie then leaks a
+        # bogus slot-0 candidate into the pairs-mode second slot on every
+        # miss ray (firing the ambiguity flag tile-wide). inf keys sort
+        # strictly above every real t_max key, so sentinels can never
+        # occupy a carried slot.
+        ts.append(jnp.where(valid & (t > MIN_DIST), t, jnp.inf))
 
     # pack (t, slot) into one sortable key; a single min-reduce yields
     # the round winner's t and slot (vs best, carried in the same
@@ -236,6 +243,26 @@ def _round_pick(
     )
 
 
+def _amb_flag(best, sl_mask):
+    """Per-ray "needs exact adjudication" flag (pairs mode — (1, T) i32).
+
+    The exact re-adjudication can only change the kernel's verdict when
+    (a) the winner is not ROBUSTLY valid (``code3 != code1`` — covers
+    margin-limbo wins, limbo-over-miss, and no-winner-but-limbo), or
+    (b) the second candidate's packed key sits within the bf16x3 error
+    band of the winner's, so the exact ordering could flip. Everywhere
+    else the winner is provably the exact winner and the cheap
+    single-gather :func:`rederive_uv` suffices — which is what
+    :func:`adjudicate_compact` exploits (the flagged set is knife-edge
+    rare). NT = 2 error bands (2^9 int-key steps ≈ the 2^-14 relative
+    ``_MARGIN`` each) + both keys' slot-bit truncation."""
+    nt = 2 * (1 << 9) + 2 * (sl_mask + 1)
+    k1 = best[0] & ~sl_mask
+    k2 = best[2] & ~sl_mask
+    near_tie = (best[3] >= 0) & (k2 - k1 < nt)
+    return ((best[5] != best[1]) | near_tie).astype(jnp.int32)
+
+
 def _kernel(
     a_ref,  # (G, T, 16) ray blocks: [o, w, d, 1, inv_d, t_max, pad, pad]
     near_ref,  # (G, 1, C) tile nears (XLA) — or (1, 8, C) transposed
@@ -243,7 +270,8 @@ def _kernel(
     matb_ref,  # (C, 16, 4S) cluster matrices (VMEM, or HBM when hbm=True)
     out_t_ref,  # (G, 1, T)
     out_code_ref,  # (G, 1, T) int32: winning cid * S + slot (-1 = miss)
-    *rest,  # pairs: out_code{2,3}_ref (G, 1, T); hbm: b_scratch, dma_sems
+    *rest,  # pairs: out_code{2,3}_ref + out_amb_ref (G, 1, T);
+    #         hbm: b_scratch, dma_sems
     n_s: int,
     cid_bits: int,
     any_hit: bool = False,
@@ -254,16 +282,18 @@ def _kernel(
     gang: int = 1,
 ):
     if pairs:
-        out_code2_ref, out_code3_ref, *scratch = rest
+        out_code2_ref, out_code3_ref, out_amb_ref, *scratch = rest
     else:
-        out_code2_ref, out_code3_ref, scratch = None, None, list(rest)
+        out_code2_ref, out_code3_ref, out_amb_ref, scratch = (
+            None, None, None, list(rest),
+        )
     # Each grid step owns `G` ray tiles, processed back-to-back by the same
     # per-tile round loop — G > 1 amortizes the fixed per-grid-step cost
     # (prologue + block DMA turnaround, ~6 µs) over G tiles.
     for g in range(a_ref.shape[0]):
         _kernel_one_tile(
             a_ref, near_ref, matb_ref, out_t_ref, out_code_ref,
-            out_code2_ref, out_code3_ref, scratch,
+            out_code2_ref, out_code3_ref, out_amb_ref, scratch,
             g=g, n_s=n_s, cid_bits=cid_bits, any_hit=any_hit, hbm=hbm,
             in_near=in_near, approx_div=approx_div, pairs=pairs,
             gang=gang,
@@ -272,7 +302,7 @@ def _kernel(
 
 def _kernel_one_tile(
     a_ref, near_ref, matb_ref, out_t_ref, out_code_ref, out_code2_ref,
-    out_code3_ref, scratch,
+    out_code3_ref, out_amb_ref, scratch,
     *,
     g: int,
     n_s: int,
@@ -532,6 +562,7 @@ def _kernel_one_tile(
     if pairs:
         out_code2_ref[g] = best[3]
         out_code3_ref[g] = best[5]
+        out_amb_ref[g] = _amb_flag(best, sl_mask)
 
 
 def _kernel_two_level(
@@ -541,7 +572,8 @@ def _kernel_two_level(
     matb_ref,  # (C, 16, 4S) cluster matrices (HBM; C = C2*G with pads)
     out_t_ref,  # (1, 1, T)
     out_code_ref,  # (1, 1, T) int32: winning cid * S + slot (-1 = miss)
-    *rest,  # pairs: out_code{2,3}_ref (1, 1, T); then b_scratch, dma_sem
+    *rest,  # pairs: out_code{2,3}_ref + out_amb_ref (1, 1, T);
+    #         then b_scratch, dma_sem
     n_s: int,
     g: int,
     sid_bits: int,
@@ -559,9 +591,10 @@ def _kernel_two_level(
     and the conservative int-key t-prune bound are identical to
     :func:`_kernel`."""
     if pairs:
-        out_code2_ref, out_code3_ref, b_scratch, dma_sem = rest
+        out_code2_ref, out_code3_ref, out_amb_ref, b_scratch, dma_sem = rest
     else:
-        out_code2_ref, out_code3_ref, (b_scratch, dma_sem) = None, None, rest
+        out_code2_ref, out_code3_ref, out_amb_ref = None, None, None
+        b_scratch, dma_sem = rest
     a = a_ref[0]  # (T, 16)
     t_dim = a.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
@@ -726,6 +759,7 @@ def _kernel_two_level(
     if pairs:
         out_code2_ref[0] = best[3]
         out_code3_ref[0] = best[5]
+        out_amb_ref[0] = _amb_flag(best, sl_mask)
 
 
 @functools.partial(
@@ -858,7 +892,7 @@ def trace_closest_clustered_pallas(
         jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.float32),
         jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.int32),
     ) + (
-        (jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.int32),) * 2
+        (jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.int32),) * 3
         if pairs
         else ()
     )
@@ -896,7 +930,7 @@ def trace_closest_clustered_pallas(
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=(row_spec, row_spec)
-            + ((row_spec,) * 2 if pairs else ()),
+            + ((row_spec,) * 3 if pairs else ()),
             out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((2, 16, 4 * s), jnp.float32),
@@ -946,7 +980,7 @@ def trace_closest_clustered_pallas(
                 jax.ShapeDtypeStruct((n_t, 1, tile), jnp.float32),
                 jax.ShapeDtypeStruct((n_t, 1, tile), jnp.int32),
             ) + (
-                (jax.ShapeDtypeStruct((n_t, 1, tile), jnp.int32),) * 2
+                (jax.ShapeDtypeStruct((n_t, 1, tile), jnp.int32),) * 3
                 if pairs
                 else ()
             )
@@ -954,7 +988,7 @@ def trace_closest_clustered_pallas(
                 kernel,
                 grid=(n_t // gs,),
                 in_specs=[asp, nsp, matb_spec],
-                out_specs=(rs, rs) + ((rs,) * 2 if pairs else ()),
+                out_specs=(rs, rs) + ((rs,) * 3 if pairs else ()),
                 out_shape=osh,
                 scratch_shapes=scratch_shapes,
                 interpret=interpret,
@@ -1006,12 +1040,14 @@ def trace_closest_clustered_pallas(
     if pairs:
         face2 = code_to_face(outs[2].reshape(r)[:r0])
         face3 = code_to_face(outs[3].reshape(r)[:r0])
+        amb = outs[4].reshape(r)[:r0]
         if raw_pair:
             # sorted-trace callers unsort, then adjudicate in original
             # ray order (fewer unsort scatters)
-            return best_t, face, face2, face3
-        return adjudicate_candidates(
-            o[:r0], d[:r0], t_max[:r0], (face, face2, face3), tables
+            return best_t, face, face2, face3, amb
+        return adjudicate_compact(
+            o[:r0], d[:r0], t_max[:r0], best_t,
+            (face, face2, face3), amb, tables,
         )
 
     if any_hit or not derive_uv:
@@ -1145,3 +1181,65 @@ def adjudicate_pair(o, d, t_fallback, face1, face2, tables) -> Hit:
     """Two-candidate convenience wrapper over
     :func:`adjudicate_candidates` (unit tests / external callers)."""
     return adjudicate_candidates(o, d, t_fallback, (face1, face2), tables)
+
+
+def adjudicate_compact(
+    o: jnp.ndarray,  # (R, 3)
+    d: jnp.ndarray,  # (R, 3)
+    t_fallback: jnp.ndarray,  # (R,) the segment's t_max (miss sentinel)
+    t1: jnp.ndarray,  # (R,) kernel best t (only its miss sentinel is used)
+    faces,  # (face1, face2, face3) carried candidates
+    amb: jnp.ndarray,  # (R,) i32 kernel ambiguity flag (_amb_flag)
+    tables,
+    cap_frac: int = 64,
+) -> Hit:
+    """:func:`adjudicate_candidates` restricted to the rays that need it.
+
+    The kernel's ``amb`` flag marks the only rays whose exact verdict can
+    differ from the carried winner (non-robust winner, or a near-tie
+    within the bf16x3 error band — see :func:`_amb_flag`); measured
+    full-frame flag rates are well under 1%. Unambiguous rays take the
+    single-gather :func:`rederive_uv` (exact t/u/v of the proven winner),
+    and the flagged rays are COMPACTED into a fixed R/cap_frac batch for
+    the full 3-candidate exact test — replacing three dense per-lane
+    (R, 9) row gathers with one dense + two tiny ones. If the flag count
+    ever exceeds the capacity, a ``lax.cond`` falls back to the dense
+    path, so the result equals :func:`adjudicate_candidates` on the
+    carried set EXACTLY in every case."""
+    r = o.shape[0]
+    f1, f2, f3 = faces
+    cap = -(-r // cap_frac)
+    cap = max(128, -(-cap // 128) * 128)
+    if cap >= r:  # tiny batches: dense wins
+        return adjudicate_candidates(o, d, t_fallback, faces, tables)
+
+    base = rederive_uv(o, d, jnp.where(f1 >= 0, t1, t_fallback), f1, tables)
+
+    flag = amb != 0
+    # fill slot = r (out of range): gathers clip to a real row (result
+    # unused), the merge scatter drops them
+    (idx,) = jnp.nonzero(flag, size=cap, fill_value=r)
+
+    def takec(x):
+        return jnp.take(x, idx, axis=0, mode="clip")
+
+    sub = adjudicate_candidates(
+        takec(o), takec(d), takec(t_fallback),
+        (takec(f1), takec(f2), takec(f3)), tables,
+    )
+
+    def put(b, s):
+        return b.at[idx].set(s, mode="drop")
+
+    merged = Hit(
+        t=put(base.t, sub.t),
+        u=put(base.u, sub.u),
+        v=put(base.v, sub.v),
+        face=put(base.face, sub.face),
+    )
+    n_amb = jnp.sum(flag.astype(jnp.int32))
+    return jax.lax.cond(
+        n_amb <= cap,
+        lambda: merged,
+        lambda: adjudicate_candidates(o, d, t_fallback, faces, tables),
+    )

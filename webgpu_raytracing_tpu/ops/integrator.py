@@ -63,7 +63,7 @@ def _trace_closest(o, d, t_max, tables, settings, active=None, sort=False):
     use_sort = sort and settings.sort_bounce_rays
     if backend in ("pallas", "pallas_interpret"):
         from .cluster_pallas import (
-            adjudicate_candidates,
+            adjudicate_compact,
             rederive_uv,
             trace_closest_clustered_pallas,
         )
@@ -95,22 +95,27 @@ def _trace_closest(o, d, t_max, tables, settings, active=None, sort=False):
 
         if backend in ("pallas", "pallas_interpret"):
             if settings.exact_pairs:
-                # unsort only the carried candidate faces (one packed
-                # scatter); the exact re-adjudication runs in original
-                # ray order where o/d/t_max need no unsort
+                # unsort only the carried candidate faces + ambiguity
+                # flag (one packed scatter); the exact re-adjudication
+                # runs in original ray order where o/d/t_max need no
+                # unsort, compacted to the flagged rays
                 def tf(o_, d_, tm_, tb_, act_):
-                    _, f1, f2, f3 = fn(
+                    _, f1, f2, f3, amb = fn(
                         o_, d_, tm_, tb_, act_, raw_pair=True
                     )
-                    return f1, f2, f3
+                    return f1, f2, f3, amb
 
-                cands = sorted_trace(tf, o, d, t_max, tables, active)
+                f1, f2, f3, amb = sorted_trace(
+                    tf, o, d, t_max, tables, active
+                )
                 tm_eff = (
                     t_max
                     if active is None
                     else jnp.where(active, t_max, 0.0)
                 )
-                return adjudicate_candidates(o, d, tm_eff, cands, tables)
+                return adjudicate_compact(
+                    o, d, tm_eff, tm_eff, (f1, f2, f3), amb, tables
+                )
 
             # unsort only (t, face) — u/v are zeros on the derive_uv=False
             # path, and scattering constants back is wasted HBM traffic

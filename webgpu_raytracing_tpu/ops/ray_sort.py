@@ -105,6 +105,63 @@ def nearest_cluster_key(
     return keys
 
 
+def _pack_cols(tree):
+    """Flatten a pytree of (R,)/(R, k) 4-byte-dtype arrays into one
+    (R, L) int32 matrix (bitcast; bool widens to i32). Per-lane HBM
+    gathers/scatters cost by row count far more than byte count, so one
+    wide op beats a per-leaf op per leaf."""
+    import numpy as _np
+
+    leaves, treedef = jax.tree.flatten(tree)
+    arrs = [jnp.asarray(x) for x in leaves]
+    cols, specs = [], []
+    for x in arrs:
+        shp = x.shape
+        n = 1 if x.ndim == 1 else int(_np.prod(shp[1:]))
+        xi = x.reshape(shp[0], n)
+        if xi.dtype == jnp.bool_:
+            xi = xi.astype(jnp.int32)
+        elif xi.dtype != jnp.int32:
+            xi = jax.lax.bitcast_convert_type(xi, jnp.int32)
+        specs.append((x.dtype, shp))
+        cols.append(xi)
+    return jnp.concatenate(cols, axis=1), specs, treedef
+
+
+def _unpack_cols(packed, specs, treedef):
+    import numpy as _np
+
+    out, j = [], 0
+    for dtype, shp in specs:
+        n = 1 if len(shp) == 1 else int(_np.prod(shp[1:]))
+        xi = packed[:, j : j + n]
+        j += n
+        if dtype == jnp.bool_:
+            x = xi != 0
+        elif dtype != jnp.int32:
+            x = jax.lax.bitcast_convert_type(xi, dtype)
+        else:
+            x = xi
+        out.append(x.reshape(shp))
+    return jax.tree.unflatten(treedef, out)
+
+
+def permute_rows(rid_s, tree):
+    """Gather every (R, ...) leaf of ``tree`` to sorted order in ONE
+    packed (R, L) row gather (the segment-sorted wavefront's only
+    per-segment permutation op)."""
+    packed, specs, td = _pack_cols(tree)
+    return _unpack_cols(jnp.take(packed, rid_s, axis=0), specs, td)
+
+
+def scatter_rows(orig, tree):
+    """Inverse of the accumulated permutation: row j of ``tree`` lands at
+    original index ``orig[j]`` — one packed (R, L) scatter."""
+    packed, specs, td = _pack_cols(tree)
+    out = jnp.zeros_like(packed).at[orig].set(packed)
+    return _unpack_cols(out, specs, td)
+
+
 def sorted_trace(trace_fn, o, d, t_max, tables, active=None):
     """Run ``trace_fn(o, d, t_max, tables, active)`` with rays permuted by
     the nearest-cluster key; every (R,)-leading leaf of the result is
@@ -126,40 +183,16 @@ def sorted_trace(trace_fn, o, d, t_max, tables, active=None):
     key = nearest_cluster_key(o, d, t_max, tables.clusters.sort_box)
     rid = jnp.arange(r, dtype=jnp.int32)
     _, rid_s = jax.lax.sort((key, rid), num_keys=1)
-    packed = jnp.concatenate([o, d, t_max[:, None]], axis=1)  # (R, 7)
-    packed_s = jnp.take(packed, rid_s, axis=0)
-    res_s = trace_fn(
-        packed_s[:, 0:3],
-        packed_s[:, 3:6],
-        packed_s[:, 6],
-        tables,
-        None,
-    )
+    o_s, d_s, tm_s = permute_rows(rid_s, (o, d, t_max))
+    res_s = trace_fn(o_s, d_s, tm_s, tables, None)
 
-    leaves, treedef = jax.tree.flatten(res_s)
-    leaves = [jnp.asarray(x) for x in leaves]
-    packable = len(leaves) > 1 and all(
-        x.shape == (r,) and x.dtype.itemsize == 4 for x in leaves
+    leaves = [jnp.asarray(x) for x in jax.tree.leaves(res_s)]
+    packable = all(
+        x.shape[:1] == (r,) and (x.dtype == jnp.bool_ or x.dtype.itemsize == 4)
+        for x in leaves
     )
     if packable:
-        cols = [
-            x
-            if x.dtype == jnp.int32
-            else jax.lax.bitcast_convert_type(x, jnp.int32)
-            for x in leaves
-        ]
-        out = (
-            jnp.zeros((r, len(cols)), jnp.int32)
-            .at[rid_s]
-            .set(jnp.stack(cols, axis=1))
-        )
-        unsorted = [
-            out[:, i]
-            if x.dtype == jnp.int32
-            else jax.lax.bitcast_convert_type(out[:, i], x.dtype)
-            for i, x in enumerate(leaves)
-        ]
-        return jax.tree.unflatten(treedef, unsorted)
+        return scatter_rows(rid_s, res_s)
 
     def unsort(x):
         x = jnp.asarray(x)
