@@ -32,19 +32,21 @@ from test_reference_parity import synthetic_equirect
 
 
 def main():
+    gsize = int(os.environ.get("GOLDEN_SIZE", 48))
+    backend = os.environ.get("PARITY_BACKEND", "pallas")
     golden = np.load(
         os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "tests",
             "golden",
-            "wgsl_reference_48x48.npz",
+            f"wgsl_reference_{gsize}x{gsize}.npz",
         )
     )
     g_img = golden["image"]
     size = g_img.shape[0]
     settings = RenderSettings(
         width=size, height=size, environment="equirect",
-        sample_count=1, bounces_depth=4, traversal="pallas",
+        sample_count=1, bounces_depth=4, traversal=backend,
     )
     scene = load_scene(
         "/root/reference/assets/raytraced-scene.obj",
@@ -60,7 +62,7 @@ def main():
     print(
         json.dumps(
             {
-                "what": "TPU pallas+adjudication vs WGSL-sim golden",
+                "what": f"{backend}+adjudication vs WGSL-sim golden",
                 "size": size,
                 "spp": float(g_img[..., 3].mean()),
                 "rmse": round(float(np.sqrt(np.mean((a - b) ** 2))), 5),

@@ -218,6 +218,18 @@ class RenderSettings:
     # compaction analog, BASELINE config #5). Camera rays are never
     # sorted (already coherent).
     sort_bounce_rays: bool = True
+    # Chain the sort across the whole path segment (ops/integrator.py):
+    # instead of sort -> trace -> unsort around each traversal, the FULL
+    # per-lane wavefront state (ray, RNG, throughput, color, env carry)
+    # is permuted once per segment and every downstream op — traversal,
+    # adjudication, shading, NEE shadow rays — runs in sorted order;
+    # original order is restored by ONE final scatter per trace. Per-lane
+    # HBM row ops are the sort leg's dominant cost, so this removes one
+    # (R, L) scatter per bounce segment (and the shadow legs' separate
+    # key/sort/gather/scatter when NEE or env-IS are on) at the price of
+    # a slightly wider per-segment gather — bit-identical results (per-
+    # ray math is lane-order-independent; tests/test_cluster.py).
+    chained_sort: bool = True
     # Next-event estimation. The reference ships the NEE chain
     # (``pointColor``/``sampleLights`` render.ts:1143-1157, 849-869) but
     # never calls it from the megakernel main; default off for parity.

@@ -101,6 +101,7 @@ def _build(args):
         reprojection_rate=args.reprojection_rate,
         debug_bvh=args.debug_bvh,
     )
+    settings = _apply_opts(settings, getattr(args, "opt", []))
     if getattr(args, "scene", "bundled") == "analytic":
         import numpy as _np
 
@@ -138,6 +139,35 @@ def _build(args):
             )
         scene = load_scene(args.obj, args.mtl)
     return Renderer(scene, settings, env_data=env_data, base_seed=args.seed)
+
+
+def _apply_opts(settings, opts):
+    """Apply ``--opt field=value`` overrides, coerced to the dataclass
+    field's type (bool accepts 0/1/true/false; enums by member name)."""
+    import dataclasses
+    import enum
+
+    fields = {f.name: f for f in dataclasses.fields(type(settings))}
+    kw = {}
+    for item in opts:
+        name, _, raw = item.partition("=")
+        if name not in fields or not _:
+            valid = ", ".join(sorted(fields))
+            raise SystemExit(
+                f"--opt {item!r}: unknown field {name!r}; valid: {valid}"
+            )
+        cur = getattr(settings, name)
+        if isinstance(cur, bool):
+            kw[name] = raw.lower() in ("1", "true", "yes", "on")
+        elif isinstance(cur, enum.Enum):
+            kw[name] = type(cur)[raw.upper()]
+        elif isinstance(cur, int):
+            kw[name] = int(raw)
+        elif isinstance(cur, float):
+            kw[name] = float(raw)
+        else:
+            kw[name] = raw
+    return settings.replace(**kw) if kw else settings
 
 
 def cmd_render(args):
@@ -317,6 +347,12 @@ def build_parser():
         sp.add_argument("--reprojection-rate", type=int, default=0)
         sp.add_argument("--debug-bvh", action="store_true")
         sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument(
+            "--opt", action="append", default=[], metavar="FIELD=VALUE",
+            help="override any RenderSettings field by name (repeatable), "
+            "e.g. --opt chained_sort=0 --opt trace_gang=8 --opt "
+            "trace_tile=256 — the A/B knob for perf work",
+        )
 
     sp = sub.add_parser("render", help="render to PNG")
     common(sp)

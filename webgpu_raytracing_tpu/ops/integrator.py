@@ -357,6 +357,19 @@ def path_trace(
     rays = jnp.zeros((), jnp.float32)
     prev_bsdf_pdf = jnp.zeros((r,), jnp.float32)  # MIS carry
 
+    # Chained segment sorting (see RenderSettings.chained_sort): permute
+    # the whole per-lane state into nearest-cluster order once per
+    # segment; every op below is per-lane, so only the FINAL color/state
+    # need one scatter back to pixel order. ``orig`` carries the composed
+    # permutation's inverse target.
+    chained = (
+        settings.chained_sort
+        and settings.sort_bounce_rays
+        and _resolve_backend(settings, tables)
+        in ("pallas", "pallas_interpret", "clustered")
+    )
+    orig = None
+
     # Deferred environment lookup: each lane misses at most once, so the
     # miss direction/weight are recorded per segment and the (gather-heavy,
     # per-lane) environment texture fetch runs ONCE after the loop instead
@@ -369,8 +382,39 @@ def path_trace(
     for seg in range(n_segments):
         rays = rays + jnp.sum(alive.astype(jnp.float32))
         t_max = t_max0 if seg == 0 else jnp.full((r,), F32_MAX, jnp.float32)
+        if chained and seg > 0:
+            from .ray_sort import nearest_cluster_key, permute_rows
+
+            import jax as _jax
+
+            key = nearest_cluster_key(
+                o,
+                d,
+                jnp.where(alive, t_max, 0.0),
+                tables.clusters.sort_box,
+            )
+            rid = jnp.arange(r, dtype=jnp.int32)
+            _, perm = _jax.lax.sort((key, rid), num_keys=1)
+            if orig is None:
+                orig = jnp.arange(r, dtype=jnp.int32)
+            st = {
+                "o": o, "d": d, "state": state, "color": color,
+                "throughput": throughput, "alive": alive,
+                "env_dir": env_dir, "env_w": env_w,
+                "env_mis_pdf": env_mis_pdf, "orig": orig,
+            }
+            if env_is:
+                st["prev_bsdf_pdf"] = prev_bsdf_pdf
+            st = permute_rows(perm, st)
+            o, d, state, color = st["o"], st["d"], st["state"], st["color"]
+            throughput, alive = st["throughput"], st["alive"]
+            env_dir, env_w = st["env_dir"], st["env_w"]
+            env_mis_pdf, orig = st["env_mis_pdf"], st["orig"]
+            if env_is:
+                prev_bsdf_pdf = st["prev_bsdf_pdf"]
+        sort_here = seg > 0 and not chained
         hit = _trace_closest(
-            o, d, t_max, tables, settings, active=alive, sort=seg > 0
+            o, d, t_max, tables, settings, active=alive, sort=sort_here
         )
         if seg == 0:
             first_hit = hit
@@ -404,8 +448,11 @@ def path_trace(
         new_o = face_point_offset(tri, shade, hit.u, hit.v)
 
         if settings.next_event_estimation:
+            # chained: lanes are already origin-grouped by this segment's
+            # permutation, and shadow directions converge on the light —
+            # the shadow trace needs no sort leg of its own
             nee, state = direct_light(
-                new_o, n, state, tables, settings, active=h, sort=seg > 0
+                new_o, n, state, tables, settings, active=h, sort=sort_here
             )
             color = jnp.where(
                 h[..., None], color + nee * throughput, color
@@ -424,7 +471,7 @@ def path_trace(
             facing = jnp.sum(ed * nn, axis=-1) > 0.0
             blocked = _trace_any(
                 new_o, ed, jnp.full((r,), F32_MAX, jnp.float32), tables,
-                settings, active=h & facing, sort=seg > 0,
+                settings, active=h & facing, sort=sort_here,
             )
             vis = h & facing & ~blocked
             pb = bsdf_pdf(ed, n)
@@ -474,6 +521,12 @@ def path_trace(
         )
         env = env * jnp.where(env_mis_pdf >= 0.0, w_bsdf, 1.0)[..., None]
     color = color + _smul(env, env_w)
+
+    if orig is not None:
+        # restore pixel order: the only scatter of the whole chained path
+        from .ray_sort import scatter_rows
+
+        color, state = scatter_rows(orig, (color, state))
 
     if first_hit is None:
         first_hit = Hit(
