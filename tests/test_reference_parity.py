@@ -175,3 +175,39 @@ def test_golden_vs_renderer_rmse(env):
     np.testing.assert_array_equal(ours[..., 3], z["image"][..., 3])
     rmse = _rmse(_normalized(ours), _normalized(z["image"]))
     assert rmse <= 1e-2, f"cross-implementation RMSE vs golden {rmse}"
+
+
+def test_golden_vs_real_kernel(env):
+    """The PRODUCTION kernel path (pallas_interpret = the real Mosaic
+    kernel under the interpreter) at the r3 perf defaults — plain bf16x3
+    single-best rounds, NO exact adjudication, source-face-duplicate
+    exclusion — against the WGSL-semantics golden. Measured bit-identical
+    when this landed (every decision the bf16x3 arithmetic made agreed
+    with exact f32 on all 48²·4spp paths once self-face impostors were
+    excluded); the assertion leaves headroom for a handful of true
+    knife-edge flips so a future golden regeneration can't flake it,
+    while still failing loudly on any systematic error class (the
+    pre-exclusion failure measured RMSE 0.30 / 352 mismatched pixels).
+    """
+    if not os.path.exists(GOLDEN):
+        pytest.skip("golden not generated")
+    z = np.load(GOLDEN)
+    size = int(z["size"][0])
+    settings = RenderSettings(
+        width=size, height=size, environment="equirect",
+        sample_count=1, bounces_depth=4, traversal="pallas_interpret",
+        **_PIN,
+    )
+    assert not settings.exact_pairs, "test targets the plain-round default"
+    scene = load_scene(OBJ, MTL)
+    r = Renderer(scene, settings, env_data=env)
+    for seed in z["seeds"]:
+        r.step(seed=int(seed))
+    ours = np.asarray(r.buffers.image)
+    a, b = _normalized(ours), _normalized(z["image"])
+    mismatched = int((np.abs(a - b).max(axis=-1) > 1e-6).sum())
+    rmse = _rmse(a, b)
+    assert rmse <= 1e-3 and mismatched <= 5, (
+        f"real-kernel parity regression: rmse {rmse}, "
+        f"{mismatched}/{a.shape[0] * a.shape[1]} mismatched"
+    )

@@ -48,6 +48,13 @@ def main():
         width=size, height=size, environment="equirect",
         sample_count=1, bounces_depth=4, traversal=backend,
     )
+    # PARITY_OPTS="exact_pairs=1,chained_sort=0" style overrides
+    for item in filter(None, os.environ.get("PARITY_OPTS", "").split(",")):
+        name, _, val = item.partition("=")
+        cur = getattr(settings, name)
+        settings = settings.replace(
+            **{name: type(cur)(int(val) if not isinstance(cur, str) else val)}
+        )
     scene = load_scene(
         "/root/reference/assets/raytraced-scene.obj",
         "/root/reference/assets/raytraced-scene.mtl",

@@ -186,12 +186,35 @@ class RenderSettings:
     # for any value. r3 sweep: tps8 best at tile=128 (within ~1% of tps4).
     tiles_per_step: int = 8
     # Exact top-2 re-adjudication of the Pallas kernel's winners
-    # (ops/cluster_pallas.py adjudicate_pair): the kernel carries its two
-    # nearest candidates out with margin-widened validity gates, and an
-    # exact f32 Möller–Trumbore re-test picks the true winner — the TPU
-    # path then matches the exact-arithmetic path everywhere except
-    # double-knife-edge cases (north-star RMSE clause at 4 spp).
-    exact_pairs: bool = True
+    # (ops/cluster_pallas.py adjudicate_candidates): the kernel carries
+    # its two nearest margin-accepted candidates + nearest robust
+    # candidate out, and an exact f32 Möller–Trumbore re-test picks the
+    # true winner. OFF by default since round 3: pairs-mode rounds cost
+    # ~2x (a 4th |a|@|b| matmul pass + margin gates + two extra
+    # min-reduces per round; on-chip frame ablation 4.09 vs 6.00
+    # Mrays/s), and the parity failure it was built to fix (r2 RMSE
+    # 0.051 at 4 spp) turned out to be the SOURCE-FACE-DUPLICATE
+    # impostor, now excluded in-kernel (ClusterTables.partner_code):
+    # with the exclusion, the plain bf16x3 kernel is bit-identical to
+    # the exact-f32 WGSL simulator on the whole 48x48@4spp golden
+    # (test_reference_parity.py::test_golden_vs_real_kernel), residual
+    # bf16 knife-edge flips being ~1e-5/ray events. Keep available for
+    # exactness-critical callers.
+    exact_pairs: bool = False
+    # bf16 passes per in-kernel Möller–Trumbore matmul (ops/
+    # cluster_pallas._mm): 3 = hi/lo split (~2^-16 relative error),
+    # 6 = full 3×3-way split (~2^-24, every cross term kept). Measured
+    # on chip at 48²·4spp: 6-pass changes NOT ONE pixel of the frame vs
+    # 3-pass (and the exact XLA clustered path run on the TPU diverges
+    # from the CPU golden on the SAME 78 pixels) — the residual
+    # TPU-vs-CPU divergence is XLA:TPU frame-math lowering, not kernel
+    # matmul precision. 6-pass costs 9% of the frame (5.18 vs 5.71
+    # Mrays/s); default stays 3.
+    mm_passes: int = 3
+    # Extend exact top-2 adjudication to BOUNCE segments too (only
+    # meaningful with exact_pairs=True; primary-only is the cheaper
+    # middle setting measured at 5.36 Mrays/s vs 4.09 for all-segments).
+    exact_pairs_bounce: bool = False
     # Approximate-reciprocal round picks in the Pallas kernel (the per-
     # round (T, S) division is a VPU hot spot). Winner t/u/v stay exact;
     # with exact_pairs near-tie ordering flips are re-adjudicated
@@ -229,7 +252,12 @@ class RenderSettings:
     # key/sort/gather/scatter when NEE or env-IS are on) at the price of
     # a slightly wider per-segment gather — bit-identical results (per-
     # ray math is lane-order-independent; tests/test_cluster.py).
-    chained_sort: bool = True
+    # Default OFF since r3: the on-chip frame A/B measured it 4-6%
+    # SLOWER at every pairs setting (5.41 vs 5.71 Mrays/s at the r3
+    # defaults) — the row-op arithmetic that motivated it undercounted
+    # the cost of the wider per-segment gather. Kept as an option (it
+    # wins when NEE/env-IS add shadow legs per segment).
+    chained_sort: bool = False
     # Next-event estimation. The reference ships the NEE chain
     # (``pointColor``/``sampleLights`` render.ts:1143-1157, 849-869) but
     # never calls it from the megakernel main; default off for parity.

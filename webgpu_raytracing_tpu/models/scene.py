@@ -131,12 +131,32 @@ class Scene:
             # ~C > 1024 means >1024-lane near vectors per 256-ray tile
             total_faces = sum(len(m.faces) for m in self.models)
             group_size = 128 if total_faces > 1024 * cluster_size else 0
+        # two-sided duplicate map: face j is i's partner iff it has the
+        # same p0 with e1/e2 swapped (build_faces interleaves duplicates;
+        # geometric matching keeps this correct across single-sided
+        # analytic models and any concat order). Consumed by the Pallas
+        # kernel to exclude a bounce ray's own source-face duplicate —
+        # see ClusterTables.partner_code (ops/cluster_trace.py).
+        f_total = len(fs)
+        key = np.ascontiguousarray(
+            np.concatenate([fs.p0, fs.e1, fs.e2], axis=1)
+        ).view(np.dtype((np.void, 36))).ravel()
+        flip = np.ascontiguousarray(
+            np.concatenate([fs.p0, fs.e2, fs.e1], axis=1)
+        ).view(np.dtype((np.void, 36))).ravel()
+        order = np.argsort(key)
+        pos = np.searchsorted(key[order], flip)
+        cand = order[np.clip(pos, 0, f_total - 1)]
+        match = (pos < f_total) & (key[cand] == flip)
+        partner = np.where(match, cand, -1).astype(np.int32)
+
         clusters = pack_cluster_tables(
             build_clusters(
                 self.models,
                 cluster_size=cluster_size,
                 group_size=group_size,
-            )
+            ),
+            partner=partner,
         )
 
         return SceneTables(

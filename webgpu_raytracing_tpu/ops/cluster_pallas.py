@@ -52,8 +52,53 @@ _NEAR_CHUNK = 128  # rays per in-kernel box-test chunk (bounds VMEM temps)
 _MARGIN = 2.0**-14
 
 
+def _split3(x):
+    """Exact 3-way bf16 split of an f32 tensor: x ≈ x0 + x1 + x2 with
+    the residual after x2 below 2^-24 relative (24 mantissa bits in 3
+    bf16 chunks; splits are exact by Sterbenz subtraction)."""
+    x0 = x.astype(jnp.bfloat16)
+    r = x - x0.astype(jnp.float32)
+    x1 = r.astype(jnp.bfloat16)
+    x2 = (r - x1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return x0, x1, x2
+
+
+def _split2(x):
+    x0 = x.astype(jnp.bfloat16)
+    x1 = (x - x0.astype(jnp.float32)).astype(jnp.bfloat16)
+    return x0, x1
+
+
+def _mm(a_sp, b, passes):
+    """f32-accurate matmul from bf16 passes (Mosaic has no f32 MXU mode;
+    DEFAULT 1-pass flips ~17% of intersection decisions).
+
+    passes=3 (hi/lo split): drops the lo·lo cross term — ~2^-16
+    relative error. passes=6 (3×3-way split, the shape XLA's HIGHEST
+    uses): keeps every cross term ≥ 2^-24. Hardware-measured at
+    48²·4spp: the two produce IDENTICAL frames (with source-face
+    exclusion in place, no intersection decision in the bundled scene
+    sits inside the 2^-16 band), so 3 is the default; 6 exists for
+    adversarial geometry. a_sp is the precomputed split of A (hoisted
+    out of the round loop); B splits here, per round."""
+    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    if passes == 6:
+        a0, a1, a2 = a_sp
+        b0, b1, b2 = _split3(b)
+        # sum small terms first: final rounding then costs ~1 ulp
+        return (
+            (d(a0, b2) + d(a1, b1) + d(a2, b0))
+            + (d(a0, b1) + d(a1, b0))
+            + d(a0, b0)
+        )
+    a_hi, a_lo = a_sp
+    b_hi, b_lo = _split2(b)
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+
+
 def _round_pick(
-    outs, mags, cids, best, *, n_s, iota_gs, sl_mask, p_bits, approx_div
+    outs, mags, cids, best, *, n_s, iota_gs, sl_mask, p_bits, approx_div,
+    excl_f=None,
 ):
     """Shared per-round epilogue of both kernels: validity gates, the
     (approx-)reciprocal t, and the packed (t | slot) min-pick that
@@ -101,12 +146,30 @@ def _round_pick(
     pairs = len(best) != 2
     ts = []
     robusts = []
-    for out, out_mag in zip(outs, mags):
+    iota_si = (
+        None
+        if excl_f is None
+        else jax.lax.broadcasted_iota(
+            jnp.int32, (outs[0].shape[0], n_s), 1
+        )
+    )
+    for out, out_mag, cid_k in zip(outs, mags, cids):
         det = out[:, 0 * n_s : 1 * n_s]
         t_num = out[:, 1 * n_s : 2 * n_s]
         u_num = out[:, 2 * n_s : 3 * n_s]
         v_num = out[:, 3 * n_s : 4 * n_s]
 
+        not_self = None
+        if excl_f is not None:
+            # the ray's own source-face two-sided duplicate: exact t is
+            # ≈ -1e-5 from the offset origin (strictly rejected by the
+            # exact t > MIN_DIST gate) but the bf16x3 t̂ sign is
+            # ambiguous — replicate the exact rejection by slot identity.
+            # excl_f carries float(code+1); 0 = no exclusion (never
+            # matches: rel < 0). Codes < 2^24 are exact in f32; the
+            # compare runs in int domain (Mosaic has no float iota).
+            rel = excl_f.astype(jnp.int32) - 1 - cid_k * n_s
+            not_self = iota_si != rel
         if out_mag is None:
             valid = (
                 (det >= _EPS2)
@@ -115,6 +178,8 @@ def _round_pick(
                 & (v_num >= 0.0)
                 & (u_num + v_num <= det)
             )
+            if not_self is not None:
+                valid = valid & not_self
         else:
             # margined gates (pairs mode). The det >= EPS^2 cull is NOT
             # margined: near-parallel candidates have numerically wild t
@@ -132,6 +197,8 @@ def _round_pick(
                 & (v_num >= -m_v)
                 & (u_num + v_num <= det + m_u + m_v)
             )
+            if not_self is not None:
+                valid = valid & not_self
             # ROBUST candidates pass every gate with the margin flipped
             # NEGATIVE — bf16 can prove them exact-valid. Crucially this
             # includes t_num >= +m_t (provably in FRONT of the origin):
@@ -140,7 +207,7 @@ def _round_pick(
             # plain gates, and its near-zero key would otherwise crowd
             # every carried slot (measured: the dominant residual miss
             # class, plain hits at t≈0.2-5 reading as misses).
-            robusts.append(
+            rb = (
                 (det >= _EPS2 + m_d)
                 & (u_num >= m_u)
                 & (u_num <= det - m_u)
@@ -148,6 +215,7 @@ def _round_pick(
                 & (u_num + v_num <= det - m_u - m_v)
                 & (t_num >= m_t)
             )
+            robusts.append(rb if not_self is None else rb & not_self)
         # the (T, S) division is a per-round VPU cost; with approx_div
         # the pick runs on a fast approximate reciprocal (~2^-12
         # relative) — NOTE measured full-frame parity loss is severe
@@ -280,6 +348,8 @@ def _kernel(
     approx_div: bool = False,
     pairs: bool = False,
     gang: int = 1,
+    excl: bool = False,
+    mm_passes: int = 3,
 ):
     if pairs:
         out_code2_ref, out_code3_ref, out_amb_ref, *scratch = rest
@@ -296,7 +366,7 @@ def _kernel(
             out_code2_ref, out_code3_ref, out_amb_ref, scratch,
             g=g, n_s=n_s, cid_bits=cid_bits, any_hit=any_hit, hbm=hbm,
             in_near=in_near, approx_div=approx_div, pairs=pairs,
-            gang=gang,
+            gang=gang, excl=excl, mm_passes=mm_passes,
         )
 
 
@@ -313,18 +383,24 @@ def _kernel_one_tile(
     approx_div: bool,
     pairs: bool,
     gang: int = 1,
+    excl: bool = False,
+    mm_passes: int = 3,
 ):
     a = a_ref[g]  # (T, 16)
+    # column 14 carries float(source-face duplicate code + 1) — see
+    # _round_pick's exclusion note (0 = none; primary rays, pads)
+    excl_f = a[:, 14:15] if excl else None
     t_dim = a.shape[0]
-    # bf16 hi/lo split for 3-pass f32-accurate matmuls (Mosaic has no
-    # Precision.HIGH; HIGHEST is 6 passes — the dropped lo*lo term is
-    # ~2^-32 relative, far below intersection decision noise).
+    # bf16-split matmuls (see _mm; Mosaic has no f32 MXU mode). The
+    # 3-pass hi/lo default drops the lo·lo cross term (~2^-16 relative —
+    # NOT 2^-32 as an earlier comment claimed; empirically still below
+    # every intersection decision margin in the bundled scene once
+    # source-face duplicates are excluded — mm_passes=6 changes nothing).
     # Columns >= 10 carry inv_d/t_max (t_max can be 3.4e38 → inf in bf16;
     # inf × 0-rows of B = NaN), so they are zeroed for the matmul operand.
     col = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
     a_mm = jnp.where(col < 10, a, 0.0)
-    a_hi = a_mm.astype(jnp.bfloat16)
-    a_lo = (a_mm - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    a_sp = _split3(a_mm) if mm_passes == 6 else _split2(a_mm)
     t_max = a[:, 13]  # (T,)
     if in_near:
         # the per-tile near vector computed HERE from VMEM-resident boxes
@@ -491,16 +567,10 @@ def _kernel_one_tile(
                 b = jnp.concatenate(
                     [matb_ref[c] for c in cids], axis=-1
                 )  # (16, 4S·K)
-        b_hi = b.astype(jnp.bfloat16)
-        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        out = (
-            jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
-            + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
-            + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
-        )
+        out = _mm(a_sp, b, mm_passes)
         out_mag = (
             jnp.dot(
-                jnp.abs(a_hi), jnp.abs(b_hi),
+                jnp.abs(a_sp[0]), jnp.abs(b.astype(jnp.bfloat16)),
                 preferred_element_type=jnp.float32,
             )
             if pairs
@@ -520,7 +590,7 @@ def _kernel_one_tile(
         best = _round_pick(
             outs, mags, cids, best,
             n_s=n_s, iota_gs=iota_gs, sl_mask=sl_mask, p_bits=p_bits,
-            approx_div=approx_div,
+            approx_div=approx_div, excl_f=excl_f,
         )
         bound = _bound(best)
         if hbm:
@@ -581,6 +651,8 @@ def _kernel_two_level(
     any_hit: bool = False,
     approx_div: bool = False,
     pairs: bool = False,
+    excl: bool = False,
+    mm_passes: int = 3,
 ):
     """Two-level variant of :func:`_kernel` for large scenes: an outer
     near-ordered loop over supercluster boxes (tested at the XLA level)
@@ -599,11 +671,11 @@ def _kernel_two_level(
     t_dim = a.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
     a_mm = jnp.where(col < 10, a, 0.0)
-    a_hi = a_mm.astype(jnp.bfloat16)
-    a_lo = (a_mm - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    a_sp = _split3(a_mm) if mm_passes == 6 else _split2(a_mm)
     o_col = a[:, 0:3]  # (T, 3)
     inv_d = a[:, 10:13]
     t_max = a[:, 13]  # (T,)
+    excl_f = a[:, 14:15] if excl else None  # see _kernel_one_tile
 
     snear0 = snear_ref[0]  # (1, C2p)
     c2p = snear0.shape[1]
@@ -672,16 +744,10 @@ def _kernel_two_level(
             _dma(1 - slot, sid * g + (ck_nxt & jmask)).start()
 
         b = b_scratch[slot]
-        b_hi = b.astype(jnp.bfloat16)
-        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        out = (
-            jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
-            + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
-            + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
-        )
+        out = _mm(a_sp, b, mm_passes)
         out_mag = (
             jnp.dot(
-                jnp.abs(a_hi), jnp.abs(b_hi),
+                jnp.abs(a_sp[0]), jnp.abs(b.astype(jnp.bfloat16)),
                 preferred_element_type=jnp.float32,
             )
             if pairs
@@ -690,7 +756,7 @@ def _kernel_two_level(
         best = _round_pick(
             [out], [out_mag if pairs else None], [cid], best,
             n_s=n_s, iota_gs=iota_s, sl_mask=sl_mask,
-            p_bits=sl_bits, approx_div=approx_div,
+            p_bits=sl_bits, approx_div=approx_div, excl_f=excl_f,
         )
         bound = _bound_raw(best)
         return (ckeys, ck_nxt, best, bound, 1 - slot, nxt_valid, sid)
@@ -767,7 +833,7 @@ def _kernel_two_level(
     static_argnames=(
         "tile", "interpret", "any_hit", "derive_uv", "kernel_near",
         "tiles_per_step", "approx_div", "exact_pairs", "raw_pair",
-        "gang", "gang_frac",
+        "gang", "gang_frac", "mm_passes",
     ),
 )
 def trace_closest_clustered_pallas(
@@ -787,6 +853,8 @@ def trace_closest_clustered_pallas(
     raw_pair: bool = False,
     gang: int = 0,
     gang_frac: int = 8,
+    excl_code: jnp.ndarray | None = None,
+    mm_passes: int = 3,
 ) -> Hit:
     """Drop-in closest-hit using the Pallas tile kernel. With ``any_hit``
     the per-tile rounds stop as soon as every live ray has found *some*
@@ -842,9 +910,21 @@ def trace_closest_clustered_pallas(
     w = jnp.cross(o, d)
     ones = jnp.ones((r, 1), jnp.float32)
     inv_d = safe_inv_dir(d)
-    zeros = jnp.zeros((r, 2), jnp.float32)
+    # column 14 carries the source-face-duplicate exclusion code as
+    # float(code + 1) (exact for codes < 2^24; 0 = none — primary rays,
+    # pad rows). See _round_pick's exclusion note.
+    use_excl = excl_code is not None
+    if use_excl:
+        ex = (excl_code.astype(jnp.int32) + 1).astype(jnp.float32)
+        if r > r0:
+            ex = jnp.concatenate([ex, jnp.zeros((r - r0,), jnp.float32)])
+        pad_cols = jnp.stack(
+            [ex, jnp.zeros((r,), jnp.float32)], axis=-1
+        )
+    else:
+        pad_cols = jnp.zeros((r, 2), jnp.float32)
     a_mat = jnp.concatenate(
-        [o, w, d, ones, inv_d, t_max[:, None], zeros], axis=-1
+        [o, w, d, ones, inv_d, t_max[:, None], pad_cols], axis=-1
     ).reshape(n_tiles, tile, 16)
 
     from .cluster_trace import _boxes_near
@@ -917,6 +997,8 @@ def trace_closest_clustered_pallas(
             any_hit=any_hit,
             approx_div=approx_div,
             pairs=pairs,
+            excl=use_excl,
+            mm_passes=mm_passes,
         )
         outs = pl.pallas_call(
             kernel,
@@ -956,7 +1038,8 @@ def trace_closest_clustered_pallas(
             kernel = functools.partial(
                 _kernel, n_s=s, cid_bits=cid_bits, any_hit=any_hit,
                 hbm=hbm, in_near=in_near, approx_div=approx_div,
-                pairs=pairs, gang=gang_n,
+                pairs=pairs, gang=gang_n, excl=use_excl,
+                mm_passes=mm_passes,
             )
             rs = pl.BlockSpec(
                 (gs, 1, tile), lambda i: (i, 0, 0),

@@ -65,6 +65,16 @@ class ClusterTables:
     face_id: jax.Array  # (C, S) int32 global face ids (-1 pad)
     super_box: jax.Array | None = None  # (C2, 6)
     child_box_t: jax.Array | None = None  # (C2, 8, G): rows bmin.xyz, bmax.xyz
+    # (n_faces,) i32: cluster-slot code (cid·S + slot) of each face's
+    # two-sided duplicate (flipped winding, face.py build_faces), -1 when
+    # none. A bounce/shadow ray leaving a face can never legitimately
+    # re-hit that face's plane, but the Pallas kernel's bf16x3 t̂ of the
+    # duplicate (exact t ≈ -1e-5 from the offset origin) is
+    # sign-ambiguous — excluding the duplicate's slot in-kernel
+    # replicates the exact arithmetic's strict-positive-t rejection
+    # (measured: the dominant plain-mode error class, RMSE 0.30 → see
+    # ROADMAP round 3).
+    partner_code: jax.Array | None = None
 
     @property
     def n_clusters(self) -> int:
@@ -82,8 +92,11 @@ class ClusterTables:
         return self.box if self.super_box is None else self.super_box
 
 
-def pack_cluster_tables(clusters) -> ClusterTables:
+def pack_cluster_tables(clusters, partner=None) -> ClusterTables:
     """models.cluster.ClusterSet → ClusterTables (host → device).
+
+    ``partner`` is the optional (n_faces,) i32 two-sided-duplicate map
+    (scene.py); it is re-indexed into cluster-slot codes here.
 
     B layout (rows = ray-matrix components [o(0:3) | w(3:6) | d(6:9) | 1]):
       cols [0,S):   det   — rows d ← −n
@@ -117,12 +130,29 @@ def pack_cluster_tables(clusters) -> ClusterTables:
         super_box = _jnp.asarray(clusters.super_box)
         child_box_t = _jnp.asarray(cb)
 
+    partner_code = None
+    if partner is not None:
+        fid = np.asarray(clusters.face_id)
+        n_faces = int(partner.shape[0])
+        code_of = np.full(n_faces, -1, np.int32)
+        sel = fid >= 0
+        codes = (
+            np.arange(c, dtype=np.int32)[:, None] * s
+            + np.arange(s, dtype=np.int32)[None, :]
+        )
+        code_of[fid[sel]] = codes[sel]
+        partner_code = _jnp.asarray(
+            np.where(partner >= 0, code_of[np.maximum(partner, 0)], -1)
+            .astype(np.int32)
+        )
+
     return ClusterTables(
         box=_jnp.asarray(clusters.box),
         mat_b=_jnp.asarray(b),
         face_id=_jnp.asarray(clusters.face_id),
         super_box=super_box,
         child_box_t=child_box_t,
+        partner_code=partner_code,
     )
 
 

@@ -53,14 +53,27 @@ def _resolve_backend(settings, tables) -> str:
     return backend
 
 
-def _trace_closest(o, d, t_max, tables, settings, active=None, sort=False):
+def _trace_closest(
+    o, d, t_max, tables, settings, active=None, sort=False, primary=False,
+    excl=None,
+):
     """Traversal backend dispatch (static on settings.traversal).
 
     ``sort`` (static) routes the batch through the nearest-cluster ray
     sort (ops/ray_sort.py) — on for incoherent bounce/shadow segments,
-    off for camera rays, which are already tile-coherent."""
+    off for camera rays, which are already tile-coherent. ``primary``
+    (static) marks camera-ray segments: exact top-2 adjudication always
+    applies there, while bounce segments pay the ~2x pairs-mode round
+    cost only when ``exact_pairs_bounce`` is set (see config.py).
+    ``excl`` is the optional (R,) i32 source-face-duplicate code per ray
+    (ClusterTables.partner_code of the face the ray leaves; -1 = none) —
+    the Pallas kernel masks that slot so its bf16-sign-ambiguous t̂ ≈ 0
+    impostor can never win (exact arithmetic rejects it by t > 0)."""
     backend = _resolve_backend(settings, tables)
     use_sort = sort and settings.sort_bounce_rays
+    exact = settings.exact_pairs and (
+        primary or getattr(settings, "exact_pairs_bounce", False)
+    )
     if backend in ("pallas", "pallas_interpret"):
         from .cluster_pallas import (
             adjudicate_compact,
@@ -74,9 +87,10 @@ def _trace_closest(o, d, t_max, tables, settings, active=None, sort=False):
             tile=settings.trace_tile,
             tiles_per_step=settings.tiles_per_step,
             approx_div=settings.approx_div,
-            exact_pairs=settings.exact_pairs,
+            exact_pairs=exact,
             gang=settings.trace_gang,
             gang_frac=settings.trace_gang_frac,
+            mm_passes=settings.mm_passes,
             # sorted path: re-derive u/v after unsorting (2 fewer unsort
             # scatters; the algebra only needs original-order o/d/face)
             derive_uv=not use_sort,
@@ -94,19 +108,20 @@ def _trace_closest(o, d, t_max, tables, settings, active=None, sort=False):
         from .ray_sort import sorted_trace
 
         if backend in ("pallas", "pallas_interpret"):
-            if settings.exact_pairs:
+            if exact:
                 # unsort only the carried candidate faces + ambiguity
                 # flag (one packed scatter); the exact re-adjudication
                 # runs in original ray order where o/d/t_max need no
                 # unsort, compacted to the flagged rays
-                def tf(o_, d_, tm_, tb_, act_):
+                def tf(o_, d_, tm_, tb_, act_, ex_=None):
                     _, f1, f2, f3, amb = fn(
-                        o_, d_, tm_, tb_, act_, raw_pair=True
+                        o_, d_, tm_, tb_, act_, raw_pair=True,
+                        excl_code=ex_,
                     )
                     return f1, f2, f3, amb
 
                 f1, f2, f3, amb = sorted_trace(
-                    tf, o, d, t_max, tables, active
+                    tf, o, d, t_max, tables, active, extra=excl
                 )
                 tm_eff = (
                     t_max
@@ -119,33 +134,41 @@ def _trace_closest(o, d, t_max, tables, settings, active=None, sort=False):
 
             # unsort only (t, face) — u/v are zeros on the derive_uv=False
             # path, and scattering constants back is wasted HBM traffic
-            def tf(o_, d_, tm_, tb_, act_):
-                h = fn(o_, d_, tm_, tb_, act_)
+            def tf(o_, d_, tm_, tb_, act_, ex_=None):
+                h = fn(o_, d_, tm_, tb_, act_, excl_code=ex_)
                 return h.t, h.face
 
-            t, face = sorted_trace(tf, o, d, t_max, tables, active)
+            t, face = sorted_trace(
+                tf, o, d, t_max, tables, active, extra=excl
+            )
             return rederive_uv(o, d, t, face, tables)
         return sorted_trace(fn, o, d, t_max, tables, active)
+    if backend in ("pallas", "pallas_interpret"):
+        return fn(o, d, t_max, tables, active, excl_code=excl)
     return fn(o, d, t_max, tables, active)
 
 
-def _trace_any(o, d, t_max, tables, settings, active=None, sort=False):
+def _trace_any(
+    o, d, t_max, tables, settings, active=None, sort=False, excl=None
+):
     backend = _resolve_backend(settings, tables)
     if backend in ("pallas", "pallas_interpret"):
         from .cluster_pallas import trace_closest_clustered_pallas
 
-        def fn(o, d, t_max, tables, active):
+        def fn(o, d, t_max, tables, active, ex_=None):
             hit = trace_closest_clustered_pallas(
                 o, d, t_max, tables, active,
                 interpret=backend == "pallas_interpret",
                 tile=settings.trace_tile,
                 tiles_per_step=settings.tiles_per_step, any_hit=True,
+                excl_code=ex_, mm_passes=settings.mm_passes,
             )
             return hit.face >= 0
 
     elif backend == "clustered":
         from .cluster_trace import trace_any_clustered
 
+        excl = None  # exact arithmetic rejects the duplicate by t > 0
         fn = functools.partial(
             trace_any_clustered, tile=settings.trace_tile
         )
@@ -154,7 +177,9 @@ def _trace_any(o, d, t_max, tables, settings, active=None, sort=False):
     if sort and settings.sort_bounce_rays:
         from .ray_sort import sorted_trace
 
-        return sorted_trace(fn, o, d, t_max, tables, active)
+        return sorted_trace(fn, o, d, t_max, tables, active, extra=excl)
+    if backend in ("pallas", "pallas_interpret"):
+        return fn(o, d, t_max, tables, active, excl)
     return fn(o, d, t_max, tables, active)
 
 _ORIGIN = 1.0 / 32.0
@@ -292,6 +317,7 @@ def direct_light(
     settings: RenderSettings,
     active: jnp.ndarray | None = None,
     sort: bool = False,
+    excl: jnp.ndarray | None = None,
 ):
     """pointColor (render.ts:1143-1157): one-or-more light samples with
     shadow rays; emission × cosine / r² × (1/pdf)."""
@@ -305,7 +331,7 @@ def direct_light(
         dirn = ds * inv_d[..., None]
         shadowed = _trace_any(
             point, dirn, jnp.sqrt(jnp.maximum(d_sq, 0.0)), tables,
-            settings, active, sort=sort,
+            settings, active, sort=sort, excl=excl,
         )
         vis = jnp.where(shadowed, 0.0, 1.0)
         cosine = jnp.maximum(jnp.sum(dirn * normal, axis=-1), 0.0)
@@ -378,6 +404,11 @@ def path_trace(
     env_w = jnp.zeros((r, 3), jnp.float32)
     env_mis_pdf = jnp.full((r,), -1.0, jnp.float32)  # ≥0 ⇒ MIS-weighted
 
+    # source-face-duplicate exclusion codes (ClusterTables.partner_code):
+    # updated per vertex, ridden by every bounce/shadow trace from it
+    pc = getattr(tables.clusters, "partner_code", None)
+    excl = None
+
     n_segments = max(settings.bounces_depth - 1, 0)
     for seg in range(n_segments):
         rays = rays + jnp.sum(alive.astype(jnp.float32))
@@ -405,6 +436,8 @@ def path_trace(
             }
             if env_is:
                 st["prev_bsdf_pdf"] = prev_bsdf_pdf
+            if excl is not None:
+                st["excl"] = excl
             st = permute_rows(perm, st)
             o, d, state, color = st["o"], st["d"], st["state"], st["color"]
             throughput, alive = st["throughput"], st["alive"]
@@ -412,9 +445,12 @@ def path_trace(
             env_mis_pdf, orig = st["env_mis_pdf"], st["orig"]
             if env_is:
                 prev_bsdf_pdf = st["prev_bsdf_pdf"]
+            if excl is not None:
+                excl = st["excl"]
         sort_here = seg > 0 and not chained
         hit = _trace_closest(
-            o, d, t_max, tables, settings, active=alive, sort=sort_here
+            o, d, t_max, tables, settings, active=alive, sort=sort_here,
+            primary=seg == 0, excl=excl,
         )
         if seg == 0:
             first_hit = hit
@@ -447,12 +483,18 @@ def path_trace(
         n = face_normal(shade, hit.u, hit.v, settings.shading_type)
         new_o = face_point_offset(tri, shade, hit.u, hit.v)
 
+        # every ray leaving this vertex (shadow + next bounce) excludes
+        # the hit face's two-sided duplicate (see _trace_closest)
+        if pc is not None:
+            excl = jnp.where(h, jnp.take(pc, face, axis=0), -1)
+
         if settings.next_event_estimation:
             # chained: lanes are already origin-grouped by this segment's
             # permutation, and shadow directions converge on the light —
             # the shadow trace needs no sort leg of its own
             nee, state = direct_light(
-                new_o, n, state, tables, settings, active=h, sort=sort_here
+                new_o, n, state, tables, settings, active=h,
+                sort=sort_here, excl=excl,
             )
             color = jnp.where(
                 h[..., None], color + nee * throughput, color
@@ -471,7 +513,7 @@ def path_trace(
             facing = jnp.sum(ed * nn, axis=-1) > 0.0
             blocked = _trace_any(
                 new_o, ed, jnp.full((r,), F32_MAX, jnp.float32), tables,
-                settings, active=h & facing, sort=sort_here,
+                settings, active=h & facing, sort=sort_here, excl=excl,
             )
             vis = h & facing & ~blocked
             pb = bsdf_pdf(ed, n)
@@ -548,7 +590,7 @@ def trace_direct(
     if settings.env_importance_sampling:
         env_data = env_data.img  # EnvDistribution → radiance image
     r = o.shape[0]
-    hit = _trace_closest(o, d, t_max0, tables, settings)
+    hit = _trace_closest(o, d, t_max0, tables, settings, primary=True)
     found = hit.face >= 0
     env = sample_environment(env_data, d, settings.environment)
     color = jnp.where(found[..., None], 0.0, env)
@@ -562,7 +604,15 @@ def trace_direct(
     n = face_normal(shade, hit.u, hit.v, settings.shading_type)
     point = face_point_offset(tri, shade, hit.u, hit.v)
 
-    nee, state = direct_light(point, n, state, tables, settings, active=found)
+    pc = getattr(tables.clusters, "partner_code", None)
+    excl = (
+        None
+        if pc is None
+        else jnp.where(found, jnp.take(pc, face, axis=0), -1)
+    )
+    nee, state = direct_light(
+        point, n, state, tables, settings, active=found, excl=excl
+    )
     lit = emission + albedo * nee
     color = jnp.where(found[..., None], lit, color)
     rays = jnp.asarray(

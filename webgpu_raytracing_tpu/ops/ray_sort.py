@@ -162,7 +162,7 @@ def scatter_rows(orig, tree):
     return _unpack_cols(out, specs, td)
 
 
-def sorted_trace(trace_fn, o, d, t_max, tables, active=None):
+def sorted_trace(trace_fn, o, d, t_max, tables, active=None, extra=None):
     """Run ``trace_fn(o, d, t_max, tables, active)`` with rays permuted by
     the nearest-cluster key; every (R,)-leading leaf of the result is
     scattered back to original ray order. ``lax.sort`` is stable, so the
@@ -183,8 +183,15 @@ def sorted_trace(trace_fn, o, d, t_max, tables, active=None):
     key = nearest_cluster_key(o, d, t_max, tables.clusters.sort_box)
     rid = jnp.arange(r, dtype=jnp.int32)
     _, rid_s = jax.lax.sort((key, rid), num_keys=1)
-    o_s, d_s, tm_s = permute_rows(rid_s, (o, d, t_max))
-    res_s = trace_fn(o_s, d_s, tm_s, tables, None)
+    if extra is None:
+        o_s, d_s, tm_s = permute_rows(rid_s, (o, d, t_max))
+        res_s = trace_fn(o_s, d_s, tm_s, tables, None)
+    else:
+        # ``extra`` (any (R,)/(R, k) pytree — e.g. the source-face
+        # exclusion codes) rides the same packed row gather and is
+        # handed to trace_fn as a sixth argument, in sorted order
+        o_s, d_s, tm_s, ex_s = permute_rows(rid_s, (o, d, t_max, extra))
+        res_s = trace_fn(o_s, d_s, tm_s, tables, None, ex_s)
 
     leaves = [jnp.asarray(x) for x in jax.tree.leaves(res_s)]
     packable = all(
