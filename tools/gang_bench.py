@@ -107,10 +107,11 @@ def main():
     settings = RenderSettings(width=W, height=H)
     (po, pd, ptm), bounce_sets = make_rays(tables, settings)
 
-    def sorted_pairs(gang, gang_frac, exact_pairs, approx_div=False):
+    def sorted_pairs(gang, gang_frac, exact_pairs, approx_div=False, mm=3):
         kw = dict(
             tile=128, tiles_per_step=8, approx_div=approx_div,
             exact_pairs=exact_pairs, gang=gang, gang_frac=gang_frac,
+            mm_passes=mm,
         )
 
         @jax.jit
@@ -139,18 +140,39 @@ def main():
 
         return run
 
-    def primary(gang, gang_frac, exact_pairs):
+    def primary(gang, gang_frac, exact_pairs, mm=3):
         @jax.jit
         def run(o, d, tm):
             return trace_closest_clustered_pallas(
                 o, d, tm, tables, tile=128, tiles_per_step=8,
                 approx_div=False, exact_pairs=exact_pairs, gang=gang,
-                gang_frac=gang_frac,
+                gang_frac=gang_frac, mm_passes=mm,
             )
 
         return run
 
     cases = {
+        # r3 production defaults (nopairs, gang=4): folded vs 3-pass matmul
+        "bounce_nopairs_g4_mm3": lambda: timed(
+            sorted_pairs(4, 8, False, mm=3), bounce_sets,
+            "bounce_nopairs_g4_mm3",
+        ),
+        "bounce_nopairs_g4_mm2": lambda: timed(
+            sorted_pairs(4, 8, False, mm=2), bounce_sets,
+            "bounce_nopairs_g4_mm2",
+        ),
+        "bounce_nopairs_g0_mm2": lambda: timed(
+            sorted_pairs(0, 8, False, mm=2), bounce_sets,
+            "bounce_nopairs_g0_mm2",
+        ),
+        "primary_nopairs_g4_mm3": lambda: timed(
+            primary(4, 8, False, mm=3), [(po, pd, ptm)],
+            "primary_nopairs_g4_mm3",
+        ),
+        "primary_nopairs_g4_mm2": lambda: timed(
+            primary(4, 8, False, mm=2), [(po, pd, ptm)],
+            "primary_nopairs_g4_mm2",
+        ),
         "bounce_pairs_g0": lambda: timed(
             sorted_pairs(0, 8, True), bounce_sets, "bounce_pairs_g0"
         ),

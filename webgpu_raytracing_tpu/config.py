@@ -202,15 +202,19 @@ class RenderSettings:
     # exactness-critical callers.
     exact_pairs: bool = False
     # bf16 passes per in-kernel Möller–Trumbore matmul (ops/
-    # cluster_pallas._mm): 3 = hi/lo split (~2^-16 relative error),
-    # 6 = full 3×3-way split (~2^-24, every cross term kept). Measured
-    # on chip at 48²·4spp: 6-pass changes NOT ONE pixel of the frame vs
-    # 3-pass (and the exact XLA clustered path run on the TPU diverges
-    # from the CPU golden on the SAME 78 pixels) — the residual
-    # TPU-vs-CPU divergence is XLA:TPU frame-math lowering, not kernel
-    # matmul precision. 6-pass costs 9% of the frame (5.18 vs 5.71
-    # Mrays/s); default stays 3.
-    mm_passes: int = 3
+    # cluster_pallas._mm): 2 = FOLDED hi/lo (pre-split bf16 B table,
+    # ClusterTables.mat_b2 — two MXU issues compute the same three
+    # hi/lo cross terms as 3-pass, ~2^-16 relative, the cross pair
+    # accumulated in one f32 dot); 3 = classic hi/lo split; 6 = full
+    # 3×3-way split (~2^-24). Round cost is MXU-issue-latency-bound at
+    # these shapes, so folding is a direct serial cut: on-chip sorted
+    # bounce trace 280.8 -> 237.2 ms (-15.5%), primary -6.5%
+    # (tools/gang_bench.py, r3). Precision headroom is measured, not
+    # assumed: 6-pass changes NOT ONE pixel vs 3-pass at 48²·4spp (the
+    # residual TPU-vs-CPU divergence is XLA:TPU frame-math lowering,
+    # not kernel matmul precision), and interpret-mode decisions of 2-
+    # vs 3-pass agree everywhere tested.
+    mm_passes: int = 2
     # Extend exact top-2 adjudication to BOUNCE segments too (only
     # meaningful with exact_pairs=True; primary-only is the cheaper
     # middle setting measured at 5.36 Mrays/s vs 4.09 for all-segments).

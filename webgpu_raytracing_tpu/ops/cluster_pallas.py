@@ -73,15 +73,30 @@ def _mm(a_sp, b, passes):
     """f32-accurate matmul from bf16 passes (Mosaic has no f32 MXU mode;
     DEFAULT 1-pass flips ~17% of intersection decisions).
 
+    passes=2 (folded hi/lo): B arrives PRE-SPLIT as (32, 4S) bf16 rows
+    [b_lo; b_hi] (ClusterTables.mat_b2) and a_sp is (a_hi, [a_hi|a_lo]),
+    so hi·hi + (hi·lo + lo·hi) is TWO MXU issues —
+    ``d(a_hi, b_hi) + d([a_hi|a_lo], [b_lo; b_hi])`` — with the same
+    dropped lo·lo term as 3-pass (~2^-16 relative; the cross terms
+    accumulate in ONE f32 dot instead of two, ≤1 ulp difference). The
+    round cost is MXU-issue-latency-bound at these shapes (mm_passes=6
+    costs +9% of the whole frame ⇒ ~0.2 µs per pass), so folding is a
+    direct serial-latency cut, and the per-round in-kernel B split
+    vanishes with it.
+
     passes=3 (hi/lo split): drops the lo·lo cross term — ~2^-16
     relative error. passes=6 (3×3-way split, the shape XLA's HIGHEST
     uses): keeps every cross term ≥ 2^-24. Hardware-measured at
-    48²·4spp: the two produce IDENTICAL frames (with source-face
+    48²·4spp: 3- and 6-pass produce IDENTICAL frames (with source-face
     exclusion in place, no intersection decision in the bundled scene
-    sits inside the 2^-16 band), so 3 is the default; 6 exists for
-    adversarial geometry. a_sp is the precomputed split of A (hoisted
-    out of the round loop); B splits here, per round."""
+    sits inside the 2^-16 band); 6 exists for adversarial geometry.
+    a_sp is the precomputed split of A (hoisted out of the round loop);
+    for passes>=3, B splits here, per round."""
     d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    if passes == 2:
+        a_hi, a_cat = a_sp
+        k = b.shape[0] // 2
+        return d(a_hi, b[k:]) + d(a_cat, b)
     if passes == 6:
         a0, a1, a2 = a_sp
         b0, b1, b2 = _split3(b)
@@ -94,6 +109,23 @@ def _mm(a_sp, b, passes):
     a_hi, a_lo = a_sp
     b_hi, b_lo = _split2(b)
     return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+
+
+def _a_split(a_mm, passes):
+    """Per-tile A-side split for :func:`_mm` (hoisted out of rounds)."""
+    if passes == 6:
+        return _split3(a_mm)
+    a_hi, a_lo = _split2(a_mm)
+    if passes == 2:
+        return a_hi, jnp.concatenate([a_hi, a_lo], axis=1)
+    return a_hi, a_lo
+
+
+def _b_hi(b, passes):
+    """The bf16 |B| operand for the pairs-mode magnitude pass."""
+    if passes == 2:
+        return b[b.shape[0] // 2 :]
+    return b.astype(jnp.bfloat16)
 
 
 def _round_pick(
@@ -400,7 +432,7 @@ def _kernel_one_tile(
     # inf × 0-rows of B = NaN), so they are zeroed for the matmul operand.
     col = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
     a_mm = jnp.where(col < 10, a, 0.0)
-    a_sp = _split3(a_mm) if mm_passes == 6 else _split2(a_mm)
+    a_sp = _a_split(a_mm, mm_passes)
     t_max = a[:, 13]  # (T,)
     if in_near:
         # the per-tile near vector computed HERE from VMEM-resident boxes
@@ -570,7 +602,7 @@ def _kernel_one_tile(
         out = _mm(a_sp, b, mm_passes)
         out_mag = (
             jnp.dot(
-                jnp.abs(a_sp[0]), jnp.abs(b.astype(jnp.bfloat16)),
+                jnp.abs(a_sp[0]), jnp.abs(_b_hi(b, mm_passes)),
                 preferred_element_type=jnp.float32,
             )
             if pairs
@@ -671,7 +703,7 @@ def _kernel_two_level(
     t_dim = a.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
     a_mm = jnp.where(col < 10, a, 0.0)
-    a_sp = _split3(a_mm) if mm_passes == 6 else _split2(a_mm)
+    a_sp = _a_split(a_mm, mm_passes)
     o_col = a[:, 0:3]  # (T, 3)
     inv_d = a[:, 10:13]
     t_max = a[:, 13]  # (T,)
@@ -747,7 +779,7 @@ def _kernel_two_level(
         out = _mm(a_sp, b, mm_passes)
         out_mag = (
             jnp.dot(
-                jnp.abs(a_sp[0]), jnp.abs(b.astype(jnp.bfloat16)),
+                jnp.abs(a_sp[0]), jnp.abs(_b_hi(b, mm_passes)),
                 preferred_element_type=jnp.float32,
             )
             if pairs
@@ -901,11 +933,19 @@ def trace_closest_clustered_pallas(
     # lane-dim padding for the near vector (supers when two-level)
     n_boxes = ct.super_box.shape[0] if two_level else c
     cp = max(128, -(-n_boxes // 128) * 128)
-    matb = ct.mat_b
-    if matb.shape[1] != 16:
-        matb = jnp.pad(matb, ((0, 0), (0, 16 - matb.shape[1]), (0, 0)))
+    # mm_passes=2: the folded matmul rides the PRE-SPLIT bf16 table
+    # (ClusterTables.mat_b2, same bytes as the f32 one) — see _mm
+    if mm_passes == 2 and ct.mat_b2 is None:
+        mm_passes = 3  # tables built before the split existed
+    if mm_passes == 2:
+        matb = ct.mat_b2
+    else:
+        matb = ct.mat_b
+        if matb.shape[1] != 16:
+            matb = jnp.pad(matb, ((0, 0), (0, 16 - matb.shape[1]), (0, 0)))
+    b_rows, b_bytes = matb.shape[1], matb.dtype.itemsize
     # tables above the VMEM budget stay in HBM with per-round DMA
-    hbm = two_level or (c * 16 * 4 * s * 4) > 12 * 1024 * 1024
+    hbm = two_level or (c * b_rows * 4 * s * b_bytes) > 12 * 1024 * 1024
 
     w = jnp.cross(o, d)
     ones = jnp.ones((r, 1), jnp.float32)
@@ -1015,7 +1055,7 @@ def trace_closest_clustered_pallas(
             + ((row_spec,) * 3 if pairs else ()),
             out_shape=out_shape,
             scratch_shapes=[
-                pltpu.VMEM((2, 16, 4 * s), jnp.float32),
+                pltpu.VMEM((2, b_rows, 4 * s), matb.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
@@ -1024,12 +1064,14 @@ def trace_closest_clustered_pallas(
         if hbm:
             matb_spec = pl.BlockSpec(memory_space=pl.ANY)
             scratch_shapes = [
-                pltpu.VMEM((2, 16, 4 * s), jnp.float32),
+                pltpu.VMEM((2, b_rows, 4 * s), matb.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ]
         else:
             matb_spec = pl.BlockSpec(
-                (c, 16, 4 * s), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                (c, b_rows, 4 * s),
+                lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
             )
             scratch_shapes = []
 

@@ -63,6 +63,13 @@ class ClusterTables:
     box: jax.Array  # (C, 6) AABB min/max
     mat_b: jax.Array  # (C, 10, 4*S) the Möller–Trumbore bilinear matrix
     face_id: jax.Array  # (C, S) int32 global face ids (-1 pad)
+    # (C, 32, 4*S) bfloat16 pre-split B for the Pallas kernel's folded
+    # 2-pass matmul (mm_passes=2): rows [0:16) = b_lo, [16:32) = b_hi of
+    # the 16-row-padded f32 B (hi = bf16(B), lo = bf16(B - f32(hi))).
+    # hi·hi + (hi·lo + lo·hi) then needs TWO MXU issues —
+    # d(a_hi, b[16:32]) + d([a_hi|a_lo], b) — instead of three, and the
+    # per-round in-kernel B split vanishes; same bytes as the f32 table.
+    mat_b2: jax.Array | None = None
     super_box: jax.Array | None = None  # (C2, 6)
     child_box_t: jax.Array | None = None  # (C2, 8, G): rows bmin.xyz, bmax.xyz
     # (n_faces,) i32: cluster-slot code (cid·S + slot) of each face's
@@ -146,10 +153,22 @@ def pack_cluster_tables(clusters, partner=None) -> ClusterTables:
             .astype(np.int32)
         )
 
+    # pre-split bf16 twin of B for the folded kernel matmul (see
+    # ClusterTables.mat_b2). ml_dtypes ships with jax; the split is the
+    # same Sterbenz-exact hi/lo decomposition _split2 does in-kernel.
+    import ml_dtypes
+
+    b16 = np.zeros((c, 16, 4 * s), dtype=np.float32)
+    b16[:, :10] = b
+    b_hi = b16.astype(ml_dtypes.bfloat16)
+    b_lo = (b16 - b_hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    b2 = np.concatenate([b_lo, b_hi], axis=1)
+
     return ClusterTables(
         box=_jnp.asarray(clusters.box),
         mat_b=_jnp.asarray(b),
         face_id=_jnp.asarray(clusters.face_id),
+        mat_b2=_jnp.asarray(b2),
         super_box=super_box,
         child_box_t=child_box_t,
         partner_code=partner_code,

@@ -162,19 +162,58 @@ def scatter_rows(orig, tree):
     return _unpack_cols(out, specs, td)
 
 
+def _to_cols(tree):
+    """Pytree of (R,)/(R, k) 4-byte leaves → list of (R,) i32 columns +
+    reassembly spec (bool widens; f32 bitcasts)."""
+    import numpy as _np
+
+    leaves, treedef = jax.tree.flatten(tree)
+    cols, specs = [], []
+    for x in (jnp.asarray(v) for v in leaves):
+        shp = x.shape
+        n = 1 if x.ndim == 1 else int(_np.prod(shp[1:]))
+        xi = x.reshape(shp[0], n)
+        if xi.dtype == jnp.bool_:
+            xi = xi.astype(jnp.int32)
+        elif xi.dtype != jnp.int32:
+            xi = jax.lax.bitcast_convert_type(xi, jnp.int32)
+        specs.append((x.dtype, shp, n))
+        cols.extend(xi[:, j] for j in range(n))
+    return cols, specs, treedef
+
+
+def _from_cols(cols, specs, treedef):
+    out, j = [], 0
+    for dtype, shp, n in specs:
+        xi = jnp.stack(cols[j : j + n], axis=-1)
+        j += n
+        if dtype == jnp.bool_:
+            x = xi != 0
+        elif dtype != jnp.int32:
+            x = jax.lax.bitcast_convert_type(xi, dtype)
+        else:
+            x = xi
+        out.append(x.reshape(shp))
+    return jax.tree.unflatten(treedef, out)
+
+
 def sorted_trace(trace_fn, o, d, t_max, tables, active=None, extra=None):
     """Run ``trace_fn(o, d, t_max, tables, active)`` with rays permuted by
     the nearest-cluster key; every (R,)-leading leaf of the result is
-    scattered back to original ray order. ``lax.sort`` is stable, so the
+    restored to original ray order. ``lax.sort`` is stable, so the
     permutation (and the traced image) is deterministic. The ``active``
     mask is folded into ``t_max`` (dead lane ⇒ empty interval).
 
-    Per-lane HBM gathers/scatters are the overhead that nearly killed
-    this design (see module docstring), and their cost is dominated by
-    the ROW count, not the byte count — so both permutation legs are
-    packed into a single wide row op: rays ride one (R, 7) gather in
-    (o | d | t_max), and the result pytree's (R,) leaves are bitcast to
-    i32, stacked, and ride one (R, L) scatter back out."""
+    Both permutation legs ride the SORT NETWORK itself: ``lax.sort``
+    carries payload operands at essentially the cost of the bare key
+    sort (measured at 2.07M rays: 8 i32 payload columns cost +1.8 ms
+    over the key-only sort), while a separate per-lane row gather is
+    ~35 ms and an unsort scatter 30-200 ms (scatters are ~6x gathers on
+    this part — tools/profile_legs.py). So the forward leg is ONE
+    stable sort of (key | rid | ray columns), and the unsort is ONE
+    sort of (rid_s | result columns) — rid_s is a permutation, so
+    sorting by it restores pixel order exactly; no gather or scatter
+    remains in the sorted-trace plumbing."""
     r = o.shape[0]
     if active is not None:
         t_max = jnp.where(active, t_max, 0.0)
@@ -182,24 +221,32 @@ def sorted_trace(trace_fn, o, d, t_max, tables, active=None, extra=None):
     # a fraction of the dense-test cost (C2 ≈ C/group boxes per ray)
     key = nearest_cluster_key(o, d, t_max, tables.clusters.sort_box)
     rid = jnp.arange(r, dtype=jnp.int32)
-    _, rid_s = jax.lax.sort((key, rid), num_keys=1)
+    in_cols, in_specs, in_td = _to_cols(
+        (o, d, t_max) if extra is None else (o, d, t_max, extra)
+    )
+    sorted_ops = jax.lax.sort(
+        tuple([key, rid] + in_cols), num_keys=1, is_stable=True
+    )
+    rid_s = sorted_ops[1]
+    ins = _from_cols(list(sorted_ops[2:]), in_specs, in_td)
     if extra is None:
-        o_s, d_s, tm_s = permute_rows(rid_s, (o, d, t_max))
+        o_s, d_s, tm_s = ins
         res_s = trace_fn(o_s, d_s, tm_s, tables, None)
     else:
-        # ``extra`` (any (R,)/(R, k) pytree — e.g. the source-face
-        # exclusion codes) rides the same packed row gather and is
-        # handed to trace_fn as a sixth argument, in sorted order
-        o_s, d_s, tm_s, ex_s = permute_rows(rid_s, (o, d, t_max, extra))
+        o_s, d_s, tm_s, ex_s = ins
         res_s = trace_fn(o_s, d_s, tm_s, tables, None, ex_s)
 
     leaves = [jnp.asarray(x) for x in jax.tree.leaves(res_s)]
-    packable = all(
+    sortable = all(
         x.shape[:1] == (r,) and (x.dtype == jnp.bool_ or x.dtype.itemsize == 4)
         for x in leaves
     )
-    if packable:
-        return scatter_rows(rid_s, res_s)
+    if sortable:
+        out_cols, out_specs, out_td = _to_cols(res_s)
+        unsorted = jax.lax.sort(
+            tuple([rid_s] + out_cols), num_keys=1, is_stable=False
+        )
+        return _from_cols(list(unsorted[1:]), out_specs, out_td)
 
     def unsort(x):
         x = jnp.asarray(x)
