@@ -106,6 +106,23 @@ def main():
         "nosort": base.replace(sort_bounce_rays=False),
         # 3-pass matmul (the pre-fold kernel)
         "mm3": base.replace(mm_passes=3),
+        # environment fetch cost: procedural sky needs no per-lane
+        # texture gathers (the cubemap fetch is one deferred per-path
+        # gather pass; delta = its real cost)
+        "proc_env": base.replace(environment="procedural"),
+        # retune arms at frame level (default is gang=8 post-fold)
+        "gang4": base.replace(trace_gang=4),
+        "tile256": base.replace(trace_tile=256, tiles_per_step=4),
+        "tile256tps8": base.replace(trace_tile=256, tiles_per_step=8),
+        "tps16": base.replace(tiles_per_step=16),
+        # chained segment sorting re-check: the r3 ablation measured -4%
+        # in the pairs-era kernel; with the folded/ganged trace the sort
+        # legs are a larger frame fraction, so re-measure
+        "chained": base.replace(chained_sort=True),
+        # predictor-off + chained combination (both independent wins?)
+        "nopred_chained": base.replace(
+            use_hit_predictor=False, chained_sort=True
+        ),
     }
     only = sys.argv[1:]
     for name, s in cases.items():

@@ -173,6 +173,20 @@ def main():
             primary(4, 8, False, mm=2), [(po, pd, ptm)],
             "primary_nopairs_g4_mm2",
         ),
+        # post-fold retune: wider gangs / fractions (ganged rounds are
+        # relatively cheaper now that the matmul is 2 issues)
+        "bounce_nopairs_g8_mm2": lambda: timed(
+            sorted_pairs(8, 8, False, mm=2), bounce_sets,
+            "bounce_nopairs_g8_mm2",
+        ),
+        "bounce_nopairs_g4f4_mm2": lambda: timed(
+            sorted_pairs(4, 4, False, mm=2), bounce_sets,
+            "bounce_nopairs_g4f4_mm2",
+        ),
+        "bounce_nopairs_g8f4_mm2": lambda: timed(
+            sorted_pairs(8, 4, False, mm=2), bounce_sets,
+            "bounce_nopairs_g8f4_mm2",
+        ),
         "bounce_pairs_g0": lambda: timed(
             sorted_pairs(0, 8, True), bounce_sets, "bounce_pairs_g0"
         ),

@@ -165,8 +165,13 @@ class RenderSettings:
 
     # --- extensions beyond the reference ---
     # Quad hit-distance predictor (pixelHitDist, render.ts:1121-1141).
-    # Always on in the reference; exposed as a flag for ablation.
-    use_hit_predictor: bool = True
+    # Always on in the reference (a SIMT optimization: quad-shared prev
+    # hits bound the primary ray's t_max); image-neutral by construction
+    # (it only prunes beyond the known closest hit). On TPU the prev-quad
+    # re-test pass costs more than the t_max prune saves — frame A/B at
+    # 1080p: off 926 ms vs on 967 ms (tools/frame_profile.py, r3) — so
+    # the default is OFF; the feature stays for reference-semantics runs.
+    use_hit_predictor: bool = False
     # Traversal backend: "auto" = Pallas tile kernel on TPU / XLA
     # clustered elsewhere; "pallas" (ops/cluster_pallas.py, the TPU
     # production path); "clustered" = XLA dense cluster tracing
@@ -235,9 +240,12 @@ class RenderSettings:
     # their serial round count ~K× at near-constant total work. 0
     # disables (single-cluster rounds everywhere). r3 on-chip
     # (tools/gang_bench.py): gang=4 cuts the sorted bounce trace 19%
-    # (355 -> 289 ms at 2.07M rays) and the primary trace 12%; gang=8
-    # is within noise of 4, gang=2 captures half the win.
-    trace_gang: int = 4
+    # (355 -> 289 ms at 2.07M rays) and the primary trace 12%. With the
+    # folded 2-pass matmul the ganged round is relatively cheaper and
+    # the retune moved the optimum: gang=8 205 -> 149 ms on the same
+    # bounce sets (-27% vs gang=4, 13.9 Mrays/s microbench); widening
+    # the ganged fraction to 1/4 is within noise (148.6).
+    trace_gang: int = 8
     trace_gang_frac: int = 8
     # Sort bounce/shadow rays by nearest hit cluster before tracing
     # (ops/ray_sort.py): collapses tile cluster-unions ~4x on incoherent
