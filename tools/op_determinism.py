@@ -94,6 +94,21 @@ fns = {
     # candidate fix: Newton-iteration cbrt (the reference's own rng.ts
     # implementation) — pure mul/add/div, deterministic by construction
     "cbrt_newton": lambda: _cbrt_newton(jnp.asarray(p)),
+    # the shipped fix (ops/detmath.py): normalize with the Dekker
+    # residual-corrected divide — must be 0/0
+    "norm3_cr": lambda: __import__(
+        "webgpu_raytracing_tpu.ops.detmath", fromlist=["normalize"]
+    ).normalize(jnp.stack([a, b, p], -1)).ravel(),
+    # raygen's exact composition at the thin-lens step: normalize of a
+    # difference whose operands came through divides
+    "lens_cr": lambda: __import__(
+        "webgpu_raytracing_tpu.ops.detmath", fromlist=["normalize"]
+    ).normalize(
+        jnp.stack([a, b, p], -1)
+        * __import__(
+            "webgpu_raytracing_tpu.ops.detmath", fromlist=["det_div"]
+        ).det_div(2.5, jnp.stack([p, p, p], -1))
+    ).ravel(),
 }
 res = {}
 for name, fn in fns.items():

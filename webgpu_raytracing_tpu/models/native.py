@@ -34,15 +34,19 @@ def _build_lib() -> Optional[str]:
     so_path = os.path.join(cache_dir, f"libwrtloader_{digest}.so")
     if os.path.exists(so_path):
         return so_path
+    # Per-process tmp name: concurrent builders (e.g. pytest + bench in
+    # separate processes) must not share a .tmp or the loser's os.replace
+    # races the winner's (observed: FileNotFoundError on the rename).
+    tmp_path = f"{so_path}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o",
-        so_path + ".tmp",
+        tmp_path,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        os.replace(tmp_path, so_path)
     except Exception:
-        return None
-    os.replace(so_path + ".tmp", so_path)
+        return so_path if os.path.exists(so_path) else None
     return so_path
 
 

@@ -1211,10 +1211,15 @@ def rederive_uv(
     # true division, contraction-proof products — WGSL rounding
     # (render.ts:406-408; ops/strictf.py)
     det_safe = jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
-    u = sdot3(svec, hvec) / det_safe
+    # correctly-rounded divides (detmath): a plain fused f32 divide on
+    # XLA:TPU is 1-2 ulp off XLA:CPU's, and u/v feed Phong normals →
+    # bounce directions → chaotic cross-platform divergence
+    from .detmath import det_div
+
+    u = det_div(sdot3(svec, hvec), det_safe)
     qvec = scross(svec, e1)
-    v = sdot3(d, qvec) / det_safe
-    t_exact = sdot3(e2, qvec) / det_safe
+    v = det_div(sdot3(d, qvec), det_safe)
+    t_exact = det_div(sdot3(e2, qvec), det_safe)
     return Hit(
         t=jnp.where(hit_mask, t_exact, t),
         u=jnp.where(hit_mask, u, 0.0),

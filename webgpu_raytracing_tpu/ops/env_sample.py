@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import INV_PI, PI
-from . import rng
+from . import detmath, rng
 from .envmap import equirect_uv
 
 
@@ -123,9 +123,7 @@ def env_pdf(dist: EnvDistribution, d: jnp.ndarray) -> jnp.ndarray:
 
 def bsdf_pdf(d: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     """Cosine-hemisphere pdf around (unnormalized-tolerant) normal n."""
-    nn = n / jnp.maximum(
-        jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True)), 1e-20
-    )
+    nn = detmath.normalize(n)
     cos_t = jnp.sum(d * nn, axis=-1)
     return jnp.maximum(cos_t, 0.0) * INV_PI
 

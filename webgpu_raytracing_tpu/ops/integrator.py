@@ -30,7 +30,7 @@ import numpy as np
 
 from ..config import F32_MAX, INV_PI, RenderSettings, ShadingType
 from ..models.scene import SceneTables
-from . import rng
+from . import detmath, rng
 from .envmap import sample_environment
 from .traverse import Hit, trace_any, trace_closest
 
@@ -327,7 +327,9 @@ def direct_light(
         ls, state = sample_lights(state, tables, settings)
         ds = ls.point - point
         d_sq = jnp.sum(ds * ds, axis=-1)
-        inv_d = 1.0 / jnp.sqrt(jnp.maximum(d_sq, 1e-20))
+        inv_d = detmath.det_div(
+            1.0, jnp.sqrt(jnp.maximum(d_sq, 1e-20))
+        )
         dirn = ds * inv_d[..., None]
         shadowed = _trace_any(
             point, dirn, jnp.sqrt(jnp.maximum(d_sq, 0.0)), tables,
@@ -507,9 +509,7 @@ def path_trace(
             # environment next-event estimation at this vertex
             ed, erad, epdf, s_env = sample_env(dist, state)
             state = rng.masked_advance(state, s_env, h)
-            nn = n / jnp.maximum(
-                jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True)), 1e-20
-            )
+            nn = detmath.normalize(n)
             facing = jnp.sum(ed * nn, axis=-1) > 0.0
             blocked = _trace_any(
                 new_o, ed, jnp.full((r,), F32_MAX, jnp.float32), tables,

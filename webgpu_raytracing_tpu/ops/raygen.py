@@ -19,12 +19,7 @@ import jax.numpy as jnp
 
 from ..config import FovOrientation, LensShape, ProjectionType, RenderSettings
 from . import rng
-
-
-def _normalize(v):
-    return v / jnp.maximum(
-        jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True)), 1e-20
-    )
+from .detmath import normalize as _normalize  # bit-identical CPU↔TPU
 
 
 def pinhole_dir(uv: jnp.ndarray, fov: float) -> jnp.ndarray:

@@ -112,8 +112,9 @@ def sample_cosine_weighted_hemisphere(t, n):
     normals arrive unnormalized, render.ts:891-900); replicated as-is.
     """
     v = n + sample_sphere(t)
-    norm = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
-    return v / jnp.maximum(norm, 1e-20)
+    from .detmath import normalize  # deferred: rng has no jax-op deps
+
+    return normalize(v)
 
 
 def sample_insquare(t):
