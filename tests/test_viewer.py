@@ -106,14 +106,32 @@ def test_viewer_serves_and_applies_input():
         base + "/input",
         {"type": "set", "name": "sample_count", "value": 1e999},
     )
+    # both reference scale knobs are panel-settable (UI.tsx:170-187):
+    # store.scale look divisor (controls.ts:56) + geometryBufferScale
+    assert spec["scale"]["value"] == 1.0
+    assert "geometry_buffer_scale" in spec
+    _post(base + "/input", {"type": "set", "name": "scale", "value": 4.0})
+    _post(
+        base + "/input",
+        {"type": "set", "name": "geometry_buffer_scale", "value": 2.0},
+    )
     deadline = time.time() + 30
     while time.time() < deadline:
         if abs(renderer.settings.fov - 1.25) < 1e-6 and (
             renderer.settings.tonemapping.name == "ACES"
-        ):
+        ) and renderer.settings.geometry_buffer_scale == 2.0:
             break
         time.sleep(0.2)
     assert abs(renderer.settings.fov - 1.25) < 1e-6
+    assert renderer.settings.geometry_buffer_scale == 2.0
+    deadline = time.time() + 30
+    spec2 = {}
+    while time.time() < deadline:
+        spec2 = json.loads(_get(base + "/settings.json"))
+        if spec2["scale"]["value"] == 4.0:
+            break
+        time.sleep(0.2)
+    assert spec2["scale"]["value"] == 4.0
     assert renderer.settings.tonemapping.name == "ACES"
     assert renderer.settings.width == 32  # non-panel field untouched
     assert renderer.settings.bilateral_filter is False  # junk rejected

@@ -128,11 +128,15 @@ class Controls:
     RUN = {"Shift"}
 
     def __init__(self, camera: Camera, sensitivity: float = 0.03,
-                 speed: float = 2.0, run_speed: float = 5.0):
+                 speed: float = 2.0, run_speed: float = 5.0,
+                 scale: float = 1.0):
         self.camera = camera
         self.sensitivity = sensitivity
         self.speed = speed
         self.run_speed = run_speed
+        # store.scale (store.ts:78): look-sensitivity divisor, exposed in
+        # the reference UI panel (UI.tsx:170-176)
+        self.scale = scale
         self.keys: set = set()
 
     # key tracking (store.ts:346-359)
@@ -146,9 +150,12 @@ class Controls:
         self.keys.clear()
 
     def pointer(self, dx: float, dy: float, dt: float) -> bool:
-        """mousemove → rotateCamera(d · dt · sensitivity)
+        """mousemove → rotateCamera(d · dt · sensitivity / scale)
         (controls.ts:51-58). Returns True if the camera changed."""
-        d = np.array([dx, dy], np.float32) * dt * self.sensitivity
+        d = (
+            np.array([dx, dy], np.float32)
+            * (dt * self.sensitivity / max(self.scale, 1e-9))
+        )
         return self.camera.rotate(d)
 
     def update(self, dt: float) -> bool:

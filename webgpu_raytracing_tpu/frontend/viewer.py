@@ -212,6 +212,7 @@ _TONE_CYCLE = list(Tonemapping)
 # coerced by the dataclass field's current type.
 _PANEL_FIELDS = (
     "resolution_scale",
+    "geometry_buffer_scale",
     "fov",
     "fov_orientation",
     "focus_distance",
@@ -302,7 +303,16 @@ def _apply_inputs(renderer, controls: Controls, shared: _Shared) -> None:
             # accumulation and retraces, the reference's reactive
             # pipeline-recompile path (gpu.ts:512-525)
             name = str(ev.get("name", ""))
-            if name in _PANEL_FIELDS:
+            if name == "scale":
+                # store.scale look divisor (controls.ts:56, UI.tsx:170-176):
+                # a Controls knob, not a RenderSettings field; the
+                # reference resets accumulation on change (store.ts:192-195)
+                try:
+                    controls.scale = float(ev.get("value"))
+                    renderer.reset()
+                except (TypeError, ValueError):
+                    pass
+            elif name in _PANEL_FIELDS:
                 try:
                     cur = getattr(renderer.settings, name)
                     renderer.update_settings(
@@ -314,7 +324,7 @@ def _apply_inputs(renderer, controls: Controls, shared: _Shared) -> None:
             controls.release_all()
 
 
-def _settings_spec(settings) -> dict:
+def _settings_spec(settings, controls=None) -> dict:
     """Current panel-field values (+ enum options) for /settings.json."""
     spec = {}
     for name in _PANEL_FIELDS:
@@ -326,6 +336,8 @@ def _settings_spec(settings) -> dict:
             }
         else:
             spec[name] = {"value": v}
+    if controls is not None:
+        spec["scale"] = {"value": controls.scale}
     return spec
 
 
@@ -347,7 +359,7 @@ def serve(
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
     controls = Controls(renderer.camera)
-    shared.settings_spec = _settings_spec(renderer.settings)
+    shared.settings_spec = _settings_spec(renderer.settings, controls)
     print(f"live viewer: http://{host}:{httpd.server_address[1]}/")
 
     frames = 0
@@ -373,7 +385,9 @@ def serve(
             )
             with shared.lock:
                 shared.png = png
-                shared.settings_spec = _settings_spec(renderer.settings)
+                shared.settings_spec = _settings_spec(
+                    renderer.settings, controls
+                )
                 shared.stats = {
                     "counter": renderer.counter,
                     "spp": spp,

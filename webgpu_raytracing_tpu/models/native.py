@@ -47,6 +47,14 @@ def _build_lib() -> Optional[str]:
         os.replace(tmp_path, so_path)
     except Exception:
         return so_path if os.path.exists(so_path) else None
+    finally:
+        # A failed/timed-out build can leave a partial pid-suffixed tmp
+        # behind (os.replace never ran) — don't accumulate them.
+        if os.path.exists(tmp_path):
+            try:
+                os.unlink(tmp_path)
+            except OSError:
+                pass
     return so_path
 
 

@@ -64,7 +64,13 @@ def det_div(num, den):
     q = num / den
     p, err = _two_prod(q, den)
     r = (num - p) - err
-    return q + r / den
+    res = q + r / den
+    # Veltkamp splitting overflows for |x| > ~8.3e34 (4097*x -> inf), so
+    # the correction can be NaN where the plain quotient is finite (e.g.
+    # huge t from a grazing near-zero det). Fall back to the platform
+    # quotient there — those magnitudes are far outside the parity-
+    # sensitive range anyway.
+    return jnp.where(jnp.isfinite(res), res, q)
 
 
 def normalize(v: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 from ..config import FovOrientation, LensShape, ProjectionType, RenderSettings
 from . import rng
-from .detmath import normalize as _normalize  # bit-identical CPU↔TPU
+from .detmath import det_div as _det_div  # bit-identical CPU↔TPU
+from .detmath import normalize as _normalize
 
 
 def pinhole_dir(uv: jnp.ndarray, fov: float) -> jnp.ndarray:
@@ -109,7 +110,7 @@ def camera_rays(
         [lens * settings.circle_of_confusion, jnp.zeros_like(lens[..., :1])],
         axis=-1,
     )
-    focus = -d * (settings.focus_distance / d[..., 2:3])
+    focus = -d * _det_div(settings.focus_distance, d[..., 2:3])
     d = _normalize(focus - o)
 
     if proj == ProjectionType.ORTHOGRAPHIC:
