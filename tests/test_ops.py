@@ -249,3 +249,46 @@ def test_orbit_path_faces_center():
         fwd = view[:3, :3] @ np.array([0, 0, -1.0], np.float32)
         want = (center - origin) / np.linalg.norm(center - origin)
         np.testing.assert_allclose(fwd, want, atol=1e-4)
+
+
+def test_det_trig_correctly_rounded():
+    """det_sincos/det_tan (ops/detmath.py): double-f32 trig must match the
+    correctly rounded f32 result (f64-evaluated, rounded once) on all but
+    a ~1e-6 sliver of rounding-boundary ties, across the ranges the
+    renderer draws from (sampler phases [0, 2π), raygen angles, and
+    adversarial near-k·π/2 arguments where Cody-Waite reduction cancels).
+    This is the CPU↔TPU determinism primitive: its bits are a pure
+    function of f32 mul/add, identical on both backends."""
+    import jax
+
+    from webgpu_raytracing_tpu.ops.detmath import det_sincos, det_tan
+
+    rng = np.random.default_rng(3)
+    n = 1 << 18
+    pools = {
+        "sampler": rng.uniform(0, 2 * np.pi, n).astype(np.float32),
+        "raygen": rng.uniform(-1.2, 1.2, n).astype(np.float32),
+        "near_kpio2": (
+            rng.integers(0, 5, n) * (np.pi / 2)
+            + rng.normal(0, 1e-6, n)
+        ).astype(np.float32),
+    }
+    f_sc = jax.jit(det_sincos)
+    f_t = jax.jit(det_tan)
+    for label, xs in pools.items():
+        s, c = f_sc(jnp.asarray(xs))
+        t = f_t(jnp.asarray(xs))
+        x64 = xs.astype(np.float64)
+        for name, got, ref in (
+            ("sin", np.asarray(s), np.sin(x64).astype(np.float32)),
+            ("cos", np.asarray(c), np.cos(x64).astype(np.float32)),
+            ("tan", np.asarray(t), np.tan(x64).astype(np.float32)),
+        ):
+            neq = got != ref
+            frac = neq.mean()
+            assert frac <= 1e-5, f"{label}/{name}: {frac} mis-rounded"
+            if neq.any():
+                ulp = np.abs(
+                    got.view(np.int32) - ref.view(np.int32)
+                )[neq].max()
+                assert ulp <= 2, f"{label}/{name}: {ulp} ulp off"

@@ -63,7 +63,18 @@ W = int(os.environ.get("PROF_W", 1920))
 H = int(os.environ.get("PROF_H", 1080))
 R = W * H
 REPS = int(os.environ.get("PROF_REPS", 4))
-KW = dict(tile=128, tiles_per_step=8, exact_pairs=True, gang=4, gang_frac=8)
+# r4: defaults follow production (exact_pairs OFF, gang=8, folded 2-pass
+# matmul); the pairs-era numbers are in ROADMAP. PROF_PAIRS=1 restores
+# the r3 configuration (raw_pair kernel + adjudication cases need it).
+if os.environ.get("PROF_PAIRS"):
+    KW = dict(
+        tile=128, tiles_per_step=8, exact_pairs=True, gang=4, gang_frac=8
+    )
+else:
+    KW = dict(
+        tile=128, tiles_per_step=8, exact_pairs=False, gang=8, gang_frac=8,
+        mm_passes=2,
+    )
 if os.environ.get("PROF_INTERPRET"):  # CPU smoke test
     KW["interpret"] = True
     KW["gang"] = 0
@@ -137,8 +148,11 @@ def main():
     no = o + d * jnp.where(found, hit.t, 1.0)[:, None]
     ocid = jnp.where(found, jnp.take(f2c, jnp.maximum(hit.face, 0)), c)
 
+    # one distinct ray set per timed rep — the tunnel memoizes identical
+    # executions, so cycling 2 sets over 4 reps undercounts by ~2x
+    # (observed: leg_full < sum of its own pieces)
     sets = {"full": [], "half": []}
-    for k in range(2):
+    for k in range(REPS):
         t2, state = rng.random_2(state)
         nd = rng.sample_cosine_weighted_hemisphere(t2, -d)
         u1, state = rng.random_1(state)
@@ -241,16 +255,37 @@ def main():
     def f_adjud_c(o, d, tm, f1, f2, f3, amb):
         return adjudicate_compact(o, d, tm, tm, (f1, f2, f3), amb, tables)
 
-    @jax.jit
-    def f_leg(o, d, tm):
-        def tf(o_, d_, tm_, tb_, act_):
-            _, f1, f2, f3, amb = trace_closest_clustered_pallas(
-                o_, d_, tm_, tb_, act_, raw_pair=True, derive_uv=False, **KW
-            )
-            return f1, f2, f3, amb
+    if KW.get("exact_pairs"):
 
-        f1, f2, f3, amb = sorted_trace(tf, o, d, tm, tables, None)
-        return adjudicate_compact(o, d, tm, tm, (f1, f2, f3), amb, tables)
+        @jax.jit
+        def f_leg(o, d, tm):
+            def tf(o_, d_, tm_, tb_, act_):
+                _, f1, f2, f3, amb = trace_closest_clustered_pallas(
+                    o_, d_, tm_, tb_, act_, raw_pair=True,
+                    derive_uv=False, **KW
+                )
+                return f1, f2, f3, amb
+
+            f1, f2, f3, amb = sorted_trace(tf, o, d, tm, tables, None)
+            return adjudicate_compact(
+                o, d, tm, tm, (f1, f2, f3), amb, tables
+            )
+
+    else:
+        # the production (pairs-off) leg: unsort only (t, face), then
+        # re-derive u/v in original order — mirrors integrator.py
+        from webgpu_raytracing_tpu.ops.cluster_pallas import rederive_uv
+
+        @jax.jit
+        def f_leg(o, d, tm):
+            def tf(o_, d_, tm_, tb_, act_):
+                h = trace_closest_clustered_pallas(
+                    o_, d_, tm_, tb_, act_, derive_uv=False, **KW
+                )
+                return h.t, h.face
+
+            t, face = sorted_trace(tf, o, d, tm, tables, None)
+            return rederive_uv(o, d, t, face, tables)
 
     # pre-computed sorted orders for the kernel-quality probes
     def presort(keyfn, rays):
@@ -291,15 +326,19 @@ def main():
             )
         ]
         cases[f"kernel_st_{lvl}"] = (f_kernel, stale)
-        kouts = [f_kernel(*a) for a in srt]
-        cases[f"adjud_{lvl}"] = (
-            f_adjud,
-            [srt[i] + (k[1], k[2], k[3]) for i, k in enumerate(kouts)],
-        )
-        cases[f"adjudc_{lvl}"] = (
-            f_adjud_c,
-            [srt[i] + (k[1], k[2], k[3], k[4]) for i, k in enumerate(kouts)],
-        )
+        if KW.get("exact_pairs"):
+            kouts = [f_kernel(*a) for a in srt]
+            cases[f"adjud_{lvl}"] = (
+                f_adjud,
+                [srt[i] + (k[1], k[2], k[3]) for i, k in enumerate(kouts)],
+            )
+            cases[f"adjudc_{lvl}"] = (
+                f_adjud_c,
+                [
+                    srt[i] + (k[1], k[2], k[3], k[4])
+                    for i, k in enumerate(kouts)
+                ],
+            )
         cases[f"leg_{lvl}"] = (f_leg, rays)
 
     only = sys.argv[1:]

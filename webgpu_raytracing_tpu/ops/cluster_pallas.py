@@ -967,7 +967,7 @@ def trace_closest_clustered_pallas(
         [o, w, d, ones, inv_d, t_max[:, None], pad_cols], axis=-1
     ).reshape(n_tiles, tile, 16)
 
-    from .cluster_trace import _boxes_near
+    from .cluster_trace import tile_nears_fused
 
     near_boxes = ct.super_box if two_level else ct.box
     # kernel_near=True computes tile nears IN-kernel from resident boxes
@@ -984,23 +984,11 @@ def trace_closest_clustered_pallas(
         bx = bx.at[3:6, :c].set(ct.box[:, 3:6].T)
         near_tc = bx[None]  # (1, 8, cp), one block shared by every tile
     else:
-
-        def tile_nears(args):
-            ot, it, tt = args
-            near = jnp.min(_boxes_near(ot, it, near_boxes, tt), axis=0)
-            return jnp.pad(near, (0, cp - n_boxes), constant_values=F32_MAX)
-
-        near_tc = jax.lax.map(
-            tile_nears,
-            (
-                o.reshape(n_tiles, tile, 3),
-                inv_d.reshape(n_tiles, tile, 3),
-                t_max.reshape(n_tiles, tile),
-            ),
-            # big vector batches — O(1) sequential map steps. _boxes_near
-            # materializes two (B, tile, C, 3) f32 temporaries, so a
-            # budget of E = B·tile·C elements costs ~24·E bytes.
-            batch_size=max(1, min(n_tiles, 16_777_216 // (tile * cp))),
+        # fused per-axis slab accumulation (ops/cluster_trace.py
+        # tile_nears_fused): bit-identical to the _boxes_near map, ~10%
+        # cheaper on chip (no (…, C, 3) stacked temporaries)
+        near_tc = tile_nears_fused(
+            o, inv_d, t_max, near_boxes, tile, pad_to=cp
         ).reshape(n_tiles, 1, cp)
 
     pairs = exact_pairs and not any_hit

@@ -323,6 +323,62 @@ def _boxes_near(
     return jnp.where(hit, jnp.maximum(near, 0.0), _INF)
 
 
+def tile_nears_fused(
+    o: jnp.ndarray,  # (R, 3) — R divisible by tile
+    inv_d: jnp.ndarray,  # (R, 3)
+    t_max: jnp.ndarray,  # (R,)
+    boxes: jnp.ndarray,  # (C, 6)
+    tile: int,
+    pad_to: int | None = None,
+) -> jnp.ndarray:
+    """Per-tile per-cluster min entry distance — the fusion-friendly
+    rewrite of the ``lax.map(_boxes_near → min)`` pass. Two structural
+    changes, bit-identical results: per-axis accumulation (no
+    ``(…, C, 3)`` stacked temporaries) and a single consumer chain into
+    one min-reduce over the ray axis, so XLA's loop fusion streams the
+    (tile, C) slab results through VMEM instead of materializing ~6
+    (R, C) f32 arrays in HBM (measured 34.8 → ~8 ms at 2.07M×384 —
+    tools/fused_pass_bench.py). ``pad_to`` pads the cluster axis with
+    +inf (the kernel's lane-padding contract)."""
+    r = o.shape[0]
+    n_tiles = r // tile
+    c = boxes.shape[0]
+
+    def chunk_nears(args):
+        # one tile; lax.map(batch_size=…) vmaps this over tile batches
+        ot, it, tt = args  # (tile, 3), (tile, 3), (tile,)
+        near = jnp.full((tile, c), -_INF, jnp.float32)
+        far = jnp.full((tile, c), _INF, jnp.float32)
+        for ax in range(3):
+            t0 = (
+                boxes[None, :, ax] - ot[:, ax : ax + 1]
+            ) * it[:, ax : ax + 1]
+            t1 = (
+                boxes[None, :, 3 + ax] - ot[:, ax : ax + 1]
+            ) * it[:, ax : ax + 1]
+            near = jnp.maximum(near, jnp.minimum(t0, t1))
+            far = jnp.minimum(far, jnp.maximum(t0, t1))
+        hit = (near < far) & (near < tt[:, None]) & (far > MIN_DIST)
+        return jnp.min(
+            jnp.where(hit, jnp.maximum(near, 0.0), _INF), axis=0
+        )  # (C,)
+
+    near_tc = jax.lax.map(
+        chunk_nears,
+        (
+            o.reshape(n_tiles, tile, 3),
+            inv_d.reshape(n_tiles, tile, 3),
+            t_max.reshape(n_tiles, tile),
+        ),
+        batch_size=max(1, min(n_tiles, 16_777_216 // (tile * c))),
+    )
+    if pad_to is not None and pad_to > c:
+        near_tc = jnp.pad(
+            near_tc, ((0, 0), (0, pad_to - c)), constant_values=_INF
+        )
+    return near_tc
+
+
 def trace_closest_clustered(
     o: jnp.ndarray,  # (R, 3)
     d: jnp.ndarray,  # (R, 3)
@@ -357,22 +413,9 @@ def trace_closest_clustered(
     a_mat = ray_matrix(o, d).reshape(n_tiles, tile, 10)
     inv_d = safe_inv_dir(d)
 
-    # per-tile per-cluster min entry distance (the shortlist source)
-    def tile_nears(args):
-        ot, it, tt = args
-        return jnp.min(_boxes_near(ot, it, ct.box, tt), axis=0)  # (C,)
-
-    near_tc = jax.lax.map(
-        tile_nears,
-        (
-            o.reshape(n_tiles, tile, 3),
-            inv_d.reshape(n_tiles, tile, 3),
-            t_max.reshape(n_tiles, tile),
-        ),
-        # big vector batches — O(1) sequential map steps; _boxes_near's
-        # (B, tile, C, 3) temporaries cost ~24·(B·tile·C) bytes
-        batch_size=max(1, min(n_tiles, 16_777_216 // (tile * c))),
-    )  # (n_tiles, C)
+    # per-tile per-cluster min entry distance (the shortlist source);
+    # fused per-axis accumulation — see tile_nears_fused
+    near_tc = tile_nears_fused(o, inv_d, t_max, ct.box, tile)  # (n_tiles, C)
 
     def _tile_bound(best_t, best_slot):
         """Per-tile upper bound on useful cluster entry distances. Closest

@@ -105,6 +105,67 @@ def nearest_cluster_key(
     return keys
 
 
+def _top2_reduce(pk):
+    """Two smallest packed keys along the last axis in ONE variadic
+    reduction (the top-2 semiring: m1 = min, m2 = second-min), so XLA
+    fuses the slab-test producer into the reduce instead of
+    materializing (R, C) key arrays in HBM twice. Keys are unique
+    (cluster iota in the LSBs), so this equals the masked two-pass
+    extraction bit-for-bit."""
+    big = jnp.int32(0x7FFFFFFF)
+
+    def comb(a, b):
+        a1, a2 = a
+        b1, b2 = b
+        m1 = jnp.minimum(a1, b1)
+        m2 = jnp.minimum(jnp.maximum(a1, b1), jnp.minimum(a2, b2))
+        return m1, m2
+
+    return jax.lax.reduce(
+        (pk, jnp.full_like(pk, big)), (big, big), comb, (pk.ndim - 1,)
+    )
+
+
+def nearest_cluster_key_fused(
+    o: jnp.ndarray,  # (R, 3)
+    d: jnp.ndarray,  # (R, 3)
+    t_max: jnp.ndarray,  # (R,) 0 for dead lanes
+    boxes: jnp.ndarray,  # (C, 6)
+) -> jnp.ndarray:
+    """:func:`nearest_cluster_key` with the top-2 extraction as one
+    variadic reduction — bit-identical keys (measured), ~4x less HBM
+    traffic (the two masked-min passes re-read the packed keys; here the
+    producer fuses into a single reduce)."""
+    import numpy as _np
+
+    r = o.shape[0]
+    c = boxes.shape[0]
+    inv_d = safe_inv_dir(d)
+    cbits = max(1, (c - 1).bit_length())
+    kmask = (1 << cbits) - 1
+    miss_th = int(_np.float32(_INF).view(_np.int32)) & ~kmask
+
+    near = jnp.full((r, c), -_INF, jnp.float32)
+    far = jnp.full((r, c), _INF, jnp.float32)
+    for ax in range(3):
+        t0 = (boxes[None, :, ax] - o[:, ax : ax + 1]) * inv_d[:, ax : ax + 1]
+        t1 = (
+            boxes[None, :, 3 + ax] - o[:, ax : ax + 1]
+        ) * inv_d[:, ax : ax + 1]
+        near = jnp.maximum(near, jnp.minimum(t0, t1))
+        far = jnp.minimum(far, jnp.maximum(t0, t1))
+    hit = (near < far) & (near < t_max[:, None]) & (far > MIN_DIST)
+    nears = jnp.where(hit, jnp.maximum(near, 0.0), _INF)
+    iota = jax.lax.broadcasted_iota(jnp.int32, nears.shape, 1)
+    pk = (jax.lax.bitcast_convert_type(nears, jnp.int32) & ~kmask) | iota
+    k1, k2 = _top2_reduce(pk)
+
+    def cid_of(k):
+        return jnp.where((k & ~kmask) < miss_th, k & kmask, c)
+
+    return cid_of(k1) * (c + 1) + cid_of(k2)
+
+
 def _pack_cols(tree):
     """Flatten a pytree of (R,)/(R, k) 4-byte-dtype arrays into one
     (R, L) int32 matrix (bitcast; bool widens to i32). Per-lane HBM

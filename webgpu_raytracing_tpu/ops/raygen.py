@@ -20,6 +20,8 @@ import jax.numpy as jnp
 from ..config import FovOrientation, LensShape, ProjectionType, RenderSettings
 from . import rng
 from .detmath import det_div as _det_div  # bit-identical CPU↔TPU
+from .detmath import det_sincos as _det_sincos
+from .detmath import det_tan as _det_tan
 from .detmath import normalize as _normalize
 
 
@@ -41,15 +43,20 @@ def panini_dir(
         jnp.sin(half_fov), jnp.cos(half_fov) + panini_distance
     )
     hv_pan = hv * half_panini_fov
-    sx = jnp.sin(hv_pan[..., 0])
-    cx = jnp.cos(hv_pan[..., 0])
+    # det_sincos/det_tan: XLA:TPU's polynomial trig is 1-2 ulp off
+    # XLA:CPU on ~25% of lanes (tools/op_determinism.py; the staged
+    # raygen probe localizes the whole remaining CPU↔TPU raygen
+    # divergence here), and every camera direction feeds chaotic path
+    # divergence. The double-f32 versions are bit-identical across
+    # platforms and ≈ correctly rounded (≤1e-7 draws off libm).
+    sx, cx = _det_sincos(hv_pan[..., 0])
     m = (
         jnp.sqrt(jnp.maximum(1.0 - jnp.square(sx * panini_distance), 0.0))
         + panini_distance * cx
     )
     x = sx * m
     z = cx * m - panini_distance
-    y = jnp.tan(hv_pan[..., 1]) * (
+    y = _det_tan(hv_pan[..., 1]) * (
         z + panini_distance * (1.0 - vertical_compression)
     )
     return _normalize(jnp.stack([x, y, -z], axis=-1))
@@ -57,12 +64,10 @@ def panini_dir(
 
 def fisheye_dir(uv: jnp.ndarray, fov: float) -> jnp.ndarray:
     angle = uv * (fov / 2.0)
-    ax, ay = angle[..., 0], angle[..., 1]
+    sax, cax = _det_sincos(angle[..., 0])  # see panini_dir's trig note
+    say, cay = _det_sincos(angle[..., 1])
     return _normalize(
-        jnp.stack(
-            [-jnp.sin(ax), -jnp.sin(ay) * jnp.cos(ax), jnp.cos(ay) * jnp.cos(ax)],
-            axis=-1,
-        )
+        jnp.stack([-sax, -say * cax, cay * cax], axis=-1)
     )
 
 

@@ -76,9 +76,18 @@ def masked_advance(state, new_state, active):
 
 
 def sample_circle(t):
-    """rng.ts:69-72 — point on the unit circle."""
+    """rng.ts:69-72 — point on the unit circle.
+
+    det_sincos (ops/detmath.py): per-lane trig is the one raygen/sampler
+    primitive whose XLA:TPU lowering differs from XLA:CPU by 1-2 ulp on
+    ~25% of lanes; lens and bounce directions inherit it and chaotic
+    path divergence amplifies it into whole-image cross-platform RMSE.
+    The double-f32 version is bit-identical across platforms."""
+    from .detmath import det_sincos
+
     phi = t * TWO_PI
-    return jnp.stack([jnp.cos(phi), jnp.sin(phi)], axis=-1)
+    s, c = det_sincos(phi)
+    return jnp.stack([c, s], axis=-1)
 
 
 def sample_incircle(t):
@@ -87,13 +96,17 @@ def sample_incircle(t):
 
 
 def sample_sphere(t):
-    """rng.ts:102-109 — uniform on unit sphere; t is (..., 2)."""
+    """rng.ts:102-109 — uniform on unit sphere; t is (..., 2).
+    det_sincos: see :func:`sample_circle`."""
+    from .detmath import det_sincos
+
     u = t[..., 0] * 2.0 - 1.0
     v = t[..., 1]
     sin_theta = jnp.sqrt(jnp.maximum(1.0 - u * u, 0.0))
     phi = TWO_PI * v
-    x = sin_theta * jnp.cos(phi)
-    z = sin_theta * jnp.sin(phi)
+    sphi, cphi = det_sincos(phi)
+    x = sin_theta * cphi
+    z = sin_theta * sphi
     return jnp.stack([x, u, z], axis=-1)
 
 
