@@ -247,6 +247,13 @@ class RenderSettings:
     # the ganged fraction to 1/4 is within noise (148.6).
     trace_gang: int = 8
     trace_gang_frac: int = 8
+    # Software-pipelined kernel rounds (ops/cluster_pallas.py): the
+    # round loop issues round k+1's cluster matmul (MXU) before applying
+    # round k's epilogue (VPU), so Mosaic overlaps the two units instead
+    # of serializing matmul -> epilogue -> matmul. Bit-identical (the
+    # speculative pick uses a one-epilogue-stale t-prune bound, which is
+    # an optimization, never semantics; tests/test_cluster.py).
+    pipeline_rounds: bool = True
     # Sort bounce/shadow rays by nearest hit cluster before tracing
     # (ops/ray_sort.py): collapses tile cluster-unions ~4x on incoherent
     # segments and compacts dead lanes to the back (the wavefront-

@@ -382,6 +382,7 @@ def _kernel(
     gang: int = 1,
     excl: bool = False,
     mm_passes: int = 3,
+    pipelined: bool = False,
 ):
     if pairs:
         out_code2_ref, out_code3_ref, out_amb_ref, *scratch = rest
@@ -398,7 +399,7 @@ def _kernel(
             out_code2_ref, out_code3_ref, out_amb_ref, scratch,
             g=g, n_s=n_s, cid_bits=cid_bits, any_hit=any_hit, hbm=hbm,
             in_near=in_near, approx_div=approx_div, pairs=pairs,
-            gang=gang, excl=excl, mm_passes=mm_passes,
+            gang=gang, excl=excl, mm_passes=mm_passes, pipelined=pipelined,
         )
 
 
@@ -417,6 +418,7 @@ def _kernel_one_tile(
     gang: int = 1,
     excl: bool = False,
     mm_passes: int = 3,
+    pipelined: bool = False,
 ):
     a = a_ref[g]  # (T, 16)
     # column 14 carries float(source-face duplicate code + 1) — see
@@ -549,6 +551,130 @@ def _kernel_one_tile(
             return pltpu.make_async_copy(
                 matb_ref.at[cid], b_scratch.at[slot], dma_sem.at[slot]
             )
+
+    if pipelined and not hbm:
+        # Software-pipelined rounds: the loop body issues the NEXT
+        # round's matmul (MXU) before applying the PENDING round's
+        # epilogue (VPU). The two are data-independent within one
+        # iteration — the matmul picks its clusters with the bound that
+        # is one epilogue stale — so Mosaic can overlap the units
+        # instead of serializing matmul → epilogue → matmul. Exactness:
+        # the t-prune bound is an optimization, never semantics — a
+        # cluster the fresher bound would have pruned only produces
+        # candidates that LOSE the packed-key min merge, and the merge
+        # is associative/commutative, so the output is bit-identical
+        # (tests/test_cluster.py). Cost: one speculative matmul per
+        # tile (the last, unused) and one per zero-round tile.
+        c_last = matb_ref.shape[0] - 1  # pad-id clamp for spec. picks
+
+        def _drain(keys, k_cur, bound):
+            """Consume up to `gang` shortlist keys gated by `bound`;
+            returns (cids, keys, k_after, k_sel) with cids clamped to
+            real matb rows (a speculative first pick can be a pad)."""
+            cid = jnp.minimum(k_cur & mask, c_last)
+            cids = [cid]
+            k_sel = k_cur
+            keys = jnp.where(keys == k_cur, jnp.int32(0x7FFFFFFF), keys)
+            k_cur = jnp.min(keys)
+            for _ in range(1, gang):
+                take_k = (k_cur & ~mask) < bound
+                cids.append(
+                    jnp.where(take_k, jnp.minimum(k_cur & mask, c_last), cid)
+                )
+                keys = jnp.where(
+                    take_k & (keys == k_cur), jnp.int32(0x7FFFFFFF), keys
+                )
+                k_cur = jnp.min(keys)
+            return cids, keys, k_cur, k_sel
+
+        def _mm_gang(cids):
+            if gang == 1:
+                b = matb_ref[cids[0]]
+            else:
+                b = jnp.concatenate([matb_ref[c] for c in cids], axis=-1)
+            out = _mm(a_sp, b, mm_passes)
+            mag = (
+                jnp.dot(
+                    jnp.abs(a_sp[0]), jnp.abs(_b_hi(b, mm_passes)),
+                    preferred_element_type=jnp.float32,
+                )
+                if pairs
+                else None
+            )
+            return out, mag
+
+        def _apply(out_prev, mag_prev, cids_prev, best):
+            outs = [
+                out_prev[:, k * 4 * n_s : (k + 1) * 4 * n_s]
+                for k in range(gang)
+            ]
+            mags = [
+                mag_prev[:, k * 4 * n_s : (k + 1) * 4 * n_s]
+                if pairs
+                else None
+                for k in range(gang)
+            ]
+            return _round_pick(
+                outs, mags, list(cids_prev), best,
+                n_s=n_s, iota_gs=iota_gs, sl_mask=sl_mask, p_bits=p_bits,
+                approx_div=approx_div, excl_f=excl_f,
+            )
+
+        def cond_p(state):
+            return state[-1]
+
+        def body_p(state):
+            if pairs:
+                (keys, k_cur, best, bound, out_prev, mag_prev,
+                 cids_prev, _pending) = state
+            else:
+                (keys, k_cur, best, bound, out_prev,
+                 cids_prev, _pending) = state
+                mag_prev = None
+            cids_n, keys, k_after, k_sel = _drain(keys, k_cur, bound)
+            out_n, mag_n = _mm_gang(cids_n)
+            best = _apply(out_prev, mag_prev, cids_prev, best)
+            bound = _bound(best)
+            pending_n = (k_sel & ~mask) < bound
+            if pairs:
+                return (keys, k_after, best, bound, out_n, mag_n,
+                        tuple(cids_n), pending_n)
+            return (keys, k_after, best, bound, out_n,
+                    tuple(cids_n), pending_n)
+
+        best_key0 = (
+            jax.lax.bitcast_convert_type(t_max[None, :], jnp.int32)
+            & ~sl_mask
+        )
+        code0 = jnp.full((1, t_dim), -1, jnp.int32)
+        best0 = (
+            (best_key0, code0, best_key0, code0, best_key0, code0)
+            if pairs
+            else (best_key0, code0)
+        )
+        bound0 = _bound(best0)
+        cids0, keys1, k_after0, k_sel0 = _drain(keys0, k0, bound0)
+        out0, mag0 = _mm_gang(cids0)
+        pending0 = (k_sel0 & ~mask) < bound0
+        if pairs:
+            init = (keys1, k_after0, best0, bound0, out0, mag0,
+                    tuple(cids0), pending0)
+        else:
+            init = (keys1, k_after0, best0, bound0, out0,
+                    tuple(cids0), pending0)
+        fin = jax.lax.while_loop(cond_p, body_p, init)
+        best = fin[2]
+        out_t_ref[g] = jnp.where(
+            best[1] >= 0,
+            jax.lax.bitcast_convert_type(best[0] & ~sl_mask, jnp.float32),
+            t_max[None, :],
+        )
+        out_code_ref[g] = best[1]
+        if pairs:
+            out_code2_ref[g] = best[3]
+            out_code3_ref[g] = best[5]
+            out_amb_ref[g] = _amb_flag(best, sl_mask)
+        return
 
     def cond(state):
         if hbm:
@@ -865,7 +991,7 @@ def _kernel_two_level(
     static_argnames=(
         "tile", "interpret", "any_hit", "derive_uv", "kernel_near",
         "tiles_per_step", "approx_div", "exact_pairs", "raw_pair",
-        "gang", "gang_frac", "mm_passes",
+        "gang", "gang_frac", "mm_passes", "pipeline_rounds",
     ),
 )
 def trace_closest_clustered_pallas(
@@ -887,6 +1013,7 @@ def trace_closest_clustered_pallas(
     gang_frac: int = 8,
     excl_code: jnp.ndarray | None = None,
     mm_passes: int = 3,
+    pipeline_rounds: bool = True,
 ) -> Hit:
     """Drop-in closest-hit using the Pallas tile kernel. With ``any_hit``
     the per-tile rounds stop as soon as every live ray has found *some*
@@ -1070,6 +1197,7 @@ def trace_closest_clustered_pallas(
                 hbm=hbm, in_near=in_near, approx_div=approx_div,
                 pairs=pairs, gang=gang_n, excl=use_excl,
                 mm_passes=mm_passes,
+                pipelined=pipeline_rounds and not hbm,
             )
             rs = pl.BlockSpec(
                 (gs, 1, tile), lambda i: (i, 0, 0),

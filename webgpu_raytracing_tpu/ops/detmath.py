@@ -73,13 +73,38 @@ def det_div(num, den):
     return jnp.where(jnp.isfinite(res), res, q)
 
 
+def det_sqrt(x):
+    """sqrt(x), correctly rounded on every backend. XLA:TPU lowers f32
+    sqrt to an rsqrt-based refinement whose result is CONTEXT-DEPENDENT:
+    standalone it matches CPU (op_determinism ``sqrt`` 0/65536), but
+    inside larger fusions it comes back 1 ulp off on ~half the lanes
+    (r4 staged probe: identical ``1 - u²`` inputs, divergent sqrt).
+    One exact-residual Newton step on top of the platform sqrt lands
+    both backends on the correctly rounded result; on CPU (already
+    correct) it is a bitwise no-op. Zeros, infs and NaNs pass through."""
+    x = jnp.asarray(x, jnp.float32)
+    s = jnp.sqrt(x)
+    p, err = _two_prod(s, s)
+    r = (x - p) - err
+    res = s + r / (2.0 * s)
+    return jnp.where((s > 0) & jnp.isfinite(s), res, s)
+
+
 def normalize(v: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
     """v / max(|v|, eps) along the last axis, bit-identical CPU↔TPU.
 
     ``sqrt`` is bit-identical across backends even in fusions (measured);
-    only the divide needs the correction.
-    """
-    n = jnp.maximum(jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True)), eps)
+    only the divide needs the correction. The squared-norm sum is left
+    UNGUARDED on purpose: both backends contract it the same way
+    (op_determinism ``norm3_cr`` = 0/65536 CPU↔TPU), and the WGSL
+    simulator's ``np.dot`` norm matches the contracted form — a strict
+    (smul) rewrite was measured to CHANGE CPU bits away from the
+    golden (r4). The sqrt DOES need det_sqrt — TPU's in-fusion sqrt is
+    1 ulp off CPU's (see det_sqrt), and det_sqrt is a bitwise no-op on
+    CPU so the golden is untouched."""
+    n = jnp.maximum(
+        det_sqrt(jnp.sum(v * v, axis=-1, keepdims=True)), eps
+    )
     return det_div(v, n)
 
 

@@ -91,6 +91,7 @@ def _trace_closest(
             gang=settings.trace_gang,
             gang_frac=settings.trace_gang_frac,
             mm_passes=settings.mm_passes,
+            pipeline_rounds=settings.pipeline_rounds,
             # sorted path: re-derive u/v after unsorting (2 fewer unsort
             # scatters; the algebra only needs original-order o/d/face)
             derive_uv=not use_sort,
@@ -162,6 +163,7 @@ def _trace_any(
                 tile=settings.trace_tile,
                 tiles_per_step=settings.tiles_per_step, any_hit=True,
                 excl_code=ex_, mm_passes=settings.mm_passes,
+                pipeline_rounds=settings.pipeline_rounds,
             )
             return hit.face >= 0
 
@@ -328,11 +330,11 @@ def direct_light(
         ds = ls.point - point
         d_sq = jnp.sum(ds * ds, axis=-1)
         inv_d = detmath.det_div(
-            1.0, jnp.sqrt(jnp.maximum(d_sq, 1e-20))
+            1.0, detmath.det_sqrt(jnp.maximum(d_sq, 1e-20))
         )
         dirn = ds * inv_d[..., None]
         shadowed = _trace_any(
-            point, dirn, jnp.sqrt(jnp.maximum(d_sq, 0.0)), tables,
+            point, dirn, detmath.det_sqrt(jnp.maximum(d_sq, 0.0)), tables,
             settings, active, sort=sort, excl=excl,
         )
         vis = jnp.where(shadowed, 0.0, 1.0)

@@ -50,14 +50,22 @@ def panini_dir(
     # divergence. The double-f32 versions are bit-identical across
     # platforms and ≈ correctly rounded (≤1e-7 draws off libm).
     sx, cx = _det_sincos(hv_pan[..., 0])
+    # strict products: XLA:TPU fuses these mul/add chains into FMAs
+    # (1-ulp off XLA:CPU's strict evaluation — the WGSL/scalar
+    # semantics); smul rounds each product first (ops/strictf.py)
+    from .strictf import smul as _smul
+
+    from .detmath import det_sqrt as _det_sqrt
+
+    w = sx * panini_distance
     m = (
-        jnp.sqrt(jnp.maximum(1.0 - jnp.square(sx * panini_distance), 0.0))
-        + panini_distance * cx
+        _det_sqrt(jnp.maximum(1.0 - _smul(w, w), 0.0))
+        + _smul(panini_distance, cx)
     )
     x = sx * m
-    z = cx * m - panini_distance
+    z = _smul(cx, m) - panini_distance
     y = _det_tan(hv_pan[..., 1]) * (
-        z + panini_distance * (1.0 - vertical_compression)
+        z + _smul(panini_distance, 1.0 - vertical_compression)
     )
     return _normalize(jnp.stack([x, y, -z], axis=-1))
 
@@ -110,27 +118,50 @@ def camera_rays(
     else:
         lens = rng.sample_insquare(t2)
 
-    # thinLensRay (render.ts:695-702)
+    # thinLensRay (render.ts:695-702). Strict products (ops/strictf.py):
+    # the lens/focus muls feed subtractions XLA:TPU would contract to
+    # FMAs, diverging 1 ulp from XLA:CPU/scalar evaluation.
+    from .strictf import smul as _smul2
+
     o = jnp.concatenate(
-        [lens * settings.circle_of_confusion, jnp.zeros_like(lens[..., :1])],
+        [
+            _smul2(lens, settings.circle_of_confusion),
+            jnp.zeros_like(lens[..., :1]),
+        ],
         axis=-1,
     )
-    focus = -d * _det_div(settings.focus_distance, d[..., 2:3])
+    focus = _smul2(-d, _det_div(settings.focus_distance, d[..., 2:3]))
     d = _normalize(focus - o)
 
     if proj == ProjectionType.ORTHOGRAPHIC:
         # cameraRayPosition (render.ts:724-729)
         fov_distance = settings.fov / jnp.pi * 4.0
-        o = o + jnp.concatenate(
-            [uv * fov_distance, jnp.zeros_like(uv[..., :1])], axis=-1
+        o = o + _smul2(
+            jnp.concatenate([uv, jnp.zeros_like(uv[..., :1])], axis=-1),
+            fov_distance,
         )
 
-    # ray_transform (render.ts:731-738)
-    ones = jnp.ones_like(o[..., :1])
-    oh = jnp.concatenate([o, ones], axis=-1) @ view.T  # (R, 4)
+    # ray_transform (render.ts:731-738), expanded to strict elementwise
+    # mul/adds: jnp's small-matmul lowering on TPU uses bf16 MXU passes
+    # at DEFAULT precision AND different accumulation order than CPU —
+    # unacceptable for the transform every ray goes through.
+    def _mat_vec(mat, v3, w):  # rows of (4,4) or (3,3) mat · [v3, w]
+        cols = []
+        for j in range(mat.shape[0]):
+            acc = _smul2(v3[..., 0], mat[j, 0])
+            acc = acc + _smul2(v3[..., 1], mat[j, 1])
+            acc = acc + _smul2(v3[..., 2], mat[j, 2])
+            if w is not None:
+                acc = acc + w * mat[j, 3]
+            cols.append(acc)
+        return jnp.stack(cols, axis=-1)
+
+    oh = _mat_vec(view, o, jnp.ones_like(o[..., 0]))  # (R, 4)
     o_w = oh[..., :3]
     d = _normalize(
-        jnp.concatenate([d[..., :2], d[..., 2:3] * oh[..., 3:4]], axis=-1)
+        jnp.concatenate(
+            [d[..., :2], _smul2(d[..., 2:3], oh[..., 3:4])], axis=-1
+        )
     )
-    d_w = d @ view[:3, :3].T
+    d_w = _mat_vec(view[:3, :3], d, None)
     return o_w, d_w, state

@@ -91,22 +91,29 @@ def sample_circle(t):
 
 
 def sample_incircle(t):
-    """rng.ts:74-76 — uniform in unit disc; t is (..., 2)."""
-    return sample_circle(t[..., 0]) * jnp.sqrt(t[..., 1])[..., None]
+    """rng.ts:74-76 — uniform in unit disc; t is (..., 2).
+    det_sqrt: TPU's in-fusion sqrt is 1 ulp off CPU's (detmath)."""
+    from .detmath import det_sqrt
+
+    return sample_circle(t[..., 0]) * det_sqrt(t[..., 1])[..., None]
 
 
 def sample_sphere(t):
     """rng.ts:102-109 — uniform on unit sphere; t is (..., 2).
-    det_sincos: see :func:`sample_circle`."""
-    from .detmath import det_sincos
+    det_sincos: see :func:`sample_circle`. Strict products (strictf):
+    the u² and sinθ·trig muls otherwise contract into neighbouring adds
+    as FMAs on TPU (1 ulp off CPU), and the result feeds every bounce
+    direction through ``normalize(n + sphere)``."""
+    from .detmath import det_sincos, det_sqrt
+    from .strictf import smul
 
     u = t[..., 0] * 2.0 - 1.0
     v = t[..., 1]
-    sin_theta = jnp.sqrt(jnp.maximum(1.0 - u * u, 0.0))
+    sin_theta = det_sqrt(jnp.maximum(1.0 - smul(u, u), 0.0))
     phi = TWO_PI * v
     sphi, cphi = det_sincos(phi)
-    x = sin_theta * cphi
-    z = sin_theta * sphi
+    x = smul(sin_theta, cphi)
+    z = smul(sin_theta, sphi)
     return jnp.stack([x, u, z], axis=-1)
 
 
