@@ -343,3 +343,52 @@ def test_pallas_tiles_per_step_bit_identical(rng_np):
         np.testing.assert_array_equal(
             np.asarray(multi.t), np.asarray(base.t)
         )
+
+
+def test_pallas_lockstep_bit_identical(rng_np):
+    """Lockstep tile batching (one fused round loop per grid step) is a
+    pure scheduling change: per tile it drains the same shortlist in the
+    same near order under the same prune bound, and finished tiles'
+    speculative rows are reverted — results must be bit-identical to the
+    serial kernel, across gang settings, the heavy/light split, any_hit,
+    and tail padding."""
+    from webgpu_raytracing_tpu.ops.cluster_pallas import (
+        trace_closest_clustered_pallas,
+    )
+
+    scene = _scene()
+    tables = scene.tables()
+    n = 1000  # pads to 8 tiles of 128 (tail partially dead)
+    o = rng_np.uniform(-3, 3, (n, 3)).astype(np.float32)
+    d = rng_np.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmax = jnp.full((n,), F32_MAX, jnp.float32)
+    for any_hit in (False, True):
+        base = trace_closest_clustered_pallas(
+            jnp.asarray(o), jnp.asarray(d), tmax, tables, tile=128,
+            interpret=True, exact_pairs=False, any_hit=any_hit,
+        )
+        for kw in (
+            dict(tiles_per_step=2),
+            dict(tiles_per_step=4),
+            # heavy/light split: 8 tiles, frac 2 -> 4 heavy (ganged
+            # inside the lockstep) + 4 light
+            dict(tiles_per_step=2, gang=2, gang_frac=2),
+            dict(tiles_per_step=2, gang=4, gang_frac=0),
+        ):
+            got = trace_closest_clustered_pallas(
+                jnp.asarray(o), jnp.asarray(d), tmax, tables, tile=128,
+                interpret=True, exact_pairs=False, any_hit=any_hit,
+                lockstep=True, **kw,
+            )
+            if any_hit:
+                np.testing.assert_array_equal(
+                    np.asarray(got.face) >= 0, np.asarray(base.face) >= 0
+                )
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(got.face), np.asarray(base.face)
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(got.t), np.asarray(base.t)
+                )

@@ -23,6 +23,9 @@ os.environ.setdefault(
 )
 
 import jax
+
+if os.environ.get("PROF_CPU"):  # smoke-test mode (the tunnel ignores
+    jax.config.update("jax_platforms", "cpu")  # JAX_PLATFORMS — CLAUDE.md)
 import jax.numpy as jnp
 
 jax.config.update(
@@ -35,8 +38,29 @@ from webgpu_raytracing_tpu.models.scene import load_scene
 from webgpu_raytracing_tpu.renderer import FrameBuffers, FrameInputs, render_frame
 from webgpu_raytracing_tpu.utils.image import load_cubemap
 
-W, H = 1920, 1080
-FRAMES = 6
+W = int(os.environ.get("PROF_W", 1920))
+H = int(os.environ.get("PROF_H", 1080))
+FRAMES = int(os.environ.get("PROF_FRAMES", 6))
+
+
+def synth_equirect(h=2048, w=4096):
+    """Synthetic HDR equirect (config #3 arm: the reference's EXR asset
+    isn't bundled — VERDICT r3 #5 sanctions a synthetic 4k equirect):
+    smooth sky gradient + a small bright sun (the case where luminance
+    importance sampling pays)."""
+    import numpy as np
+
+    y = np.linspace(0, 1, h, dtype=np.float32)[:, None]
+    img = np.stack(
+        [
+            0.3 + 0.5 * y + 0 * np.zeros((h, w), np.float32),
+            0.4 + 0.4 * y + np.zeros((h, w), np.float32),
+            0.6 + 0.3 * y + np.zeros((h, w), np.float32),
+        ],
+        axis=-1,
+    )
+    img[h // 3 : h // 3 + 16, w // 4 : w // 4 + 16] = 800.0  # the sun
+    return img
 
 
 def run(label, settings, tables, env):
@@ -115,6 +139,20 @@ def main():
         "tile256": base.replace(trace_tile=256, tiles_per_step=4),
         "tile256tps8": base.replace(trace_tile=256, tiles_per_step=8),
         "tps16": base.replace(tiles_per_step=16),
+        # software-pipelined kernel rounds off (r4 A/B: MXU/VPU overlap)
+        "nopipe": base.replace(pipeline_rounds=False),
+        # gang EVERY tile (gang_frac=0): serial rounds drop ~K× on the
+        # light 7/8 of tiles too, at up to K× extra epilogue work past
+        # their prune point — and the union-sort/reorder legs vanish
+        "gangall2": base.replace(trace_gang=2, trace_gang_frac=0),
+        "gangall4": base.replace(trace_gang=4, trace_gang_frac=0),
+        "gangall8": base.replace(trace_gang=8, trace_gang_frac=0),
+        # lockstep tile batching (r4: one fused round loop per grid
+        # step — serial rounds drop from sum(tiles) to max(tiles))
+        "lock": base.replace(lockstep_tiles=True),
+        "lock_tps16": base.replace(lockstep_tiles=True, tiles_per_step=16),
+        "lock_gangall": base.replace(lockstep_tiles=True, trace_gang_frac=0),
+        "lock_tps4": base.replace(lockstep_tiles=True, tiles_per_step=4),
         # chained segment sorting re-check: the r3 ablation measured -4%
         # in the pairs-era kernel; with the folded/ganged trace the sort
         # legs are a larger frame fraction, so re-measure
@@ -124,11 +162,31 @@ def main():
             use_hit_predictor=False, chained_sort=True
         ),
     }
+    # config #3 arms (BASELINE: equirect env, 1080p, MIS on vs off) —
+    # built lazily; the equirect replaces the cubemap env operand
+    env_cases = {
+        "equirect": base.replace(environment="equirect"),
+        "envis": base.replace(
+            environment="equirect", env_importance_sampling=True
+        ),
+    }
     only = sys.argv[1:]
     for name, s in cases.items():
         if only and name not in only:
             continue
         run(name, s, tables, env)
+    if any(n in env_cases for n in only) or not only:
+        eq_np = synth_equirect()
+        for name, s in env_cases.items():
+            if only and name not in only:
+                continue
+            if s.env_importance_sampling:
+                from webgpu_raytracing_tpu.ops.env_sample import (
+                    build_env_distribution,
+                )
+                run(name, s, tables, build_env_distribution(eq_np))
+            else:
+                run(name, s, tables, jnp.asarray(eq_np))
 
 
 if __name__ == "__main__":

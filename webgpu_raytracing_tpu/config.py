@@ -249,11 +249,28 @@ class RenderSettings:
     trace_gang_frac: int = 8
     # Software-pipelined kernel rounds (ops/cluster_pallas.py): the
     # round loop issues round k+1's cluster matmul (MXU) before applying
-    # round k's epilogue (VPU), so Mosaic overlaps the two units instead
-    # of serializing matmul -> epilogue -> matmul. Bit-identical (the
-    # speculative pick uses a one-epilogue-stale t-prune bound, which is
-    # an optimization, never semantics; tests/test_cluster.py).
-    pipeline_rounds: bool = True
+    # round k's epilogue (VPU), hoping Mosaic overlaps the two units.
+    # Bit-identical (the speculative pick uses a one-epilogue-stale
+    # t-prune bound — conservative, so extras lose the min merge;
+    # tests/test_cluster.py). Default OFF: the on-chip frame A/B
+    # measured it 10% SLOWER (988.5 vs 894.6 ms at 1080p defaults,
+    # tools/frame_profile.py default/nopipe r4) — Mosaic does not
+    # overlap across while_loop iterations, so the speculative last
+    # matmul per tile and the stale-bound extra gang picks are pure
+    # cost. Kept as an option with the measurement, so it isn't
+    # re-invented.
+    pipeline_rounds: bool = False
+    # Lockstep tile batching (ops/cluster_pallas._kernel_lockstep): the
+    # tiles_per_step tiles of one grid step run ONE fused round loop —
+    # each round drains every pending tile's nearest shortlist cluster,
+    # issues tiles_per_step data-independent matmuls (ILP across tiles,
+    # where consecutive serial rounds are latency-chained through the
+    # epilogue), and applies one wide epilogue. Bit-identical per tile
+    # (own shortlist order, own prune bound, finished tiles reverted);
+    # serial rounds per grid step drop from sum to max. The r4 frame
+    # profile (ROADMAP) put kernel rounds at ~80% of a sorted trace leg
+    # with rounds serial-latency-bound — this is the round-count lever.
+    lockstep_tiles: bool = False
     # Sort bounce/shadow rays by nearest hit cluster before tracing
     # (ops/ray_sort.py): collapses tile cluster-unions ~4x on incoherent
     # segments and compacts dead lanes to the back (the wavefront-

@@ -277,6 +277,14 @@ def _round_pick(
     ) | iota_gs
     cand = jnp.min(tkey, axis=1)  # (T,)
 
+    def _cid1(c):
+        """cid entries are scalars (one cluster per gang block — the
+        serial kernels) or (rows, 1) columns (per-ROW cluster ids — the
+        lockstep kernel, where each tile's row block multiplied its own
+        cluster). Normalize to something that broadcasts against the
+        (rows,)-shaped slot vector."""
+        return c[:, 0] if getattr(c, "ndim", 0) == 2 else c
+
     def _code_of(c):
         """Packed slot code → global face code cid·S + slot. The gang
         index rides the bits above p_bits; its cid is recovered with a
@@ -284,11 +292,11 @@ def _round_pick(
         slot_g = c & sl_mask
         slot = slot_g & ((1 << p_bits) - 1)
         if len(cids) == 1:
-            return cids[0] * n_s + slot
+            return _cid1(cids[0]) * n_s + slot
         k_idx = slot_g >> p_bits
-        cid_sel = cids[0]
+        cid_sel = _cid1(cids[0])
         for k in range(1, len(cids)):
-            cid_sel = jnp.where(k_idx == k, cids[k], cid_sel)
+            cid_sel = jnp.where(k_idx == k, _cid1(cids[k]), cid_sel)
         return cid_sel * n_s + slot
 
     ccode1 = _code_of(cand)
@@ -793,6 +801,206 @@ def _kernel_one_tile(
         out_amb_ref[g] = _amb_flag(best, sl_mask)
 
 
+def _kernel_lockstep(
+    a_ref,  # (L, T, 16) ray blocks: [o, w, d, 1, inv_d, t_max, excl, pad]
+    near_ref,  # (L, 1, Cp) per-tile cluster entry distances (XLA)
+    matb_ref,  # (C, rows_b, 4S) cluster matrices (VMEM)
+    out_t_ref,  # (L, 1, T)
+    out_code_ref,  # (L, 1, T) int32: winning cid * S + slot (-1 = miss)
+    *,
+    n_s: int,
+    cid_bits: int,
+    any_hit: bool = False,
+    approx_div: bool = False,
+    excl: bool = False,
+    mm_passes: int = 3,
+    gang: int = 1,
+):
+    """Lockstep tile batching: the L tiles of one grid step run ONE fused
+    round loop instead of L serial round loops (``_kernel``'s per-tile
+    for-loop). Each round drains every still-pending tile's nearest
+    shortlist cluster (``gang`` of them for gang > 1), issues L
+    data-INDEPENDENT (T, 16) @ (16, 4S·gang) matmuls — consecutive
+    serial rounds are chained matmul → epilogue → matmul, but the L
+    matmuls of a lockstep round have no cross-tile dependence, so the
+    compiler can overlap them — and applies ONE (L·T)-row epilogue
+    (:func:`_round_pick` with per-row cluster-id columns).
+
+    Per-tile semantics are bit-identical to the serial kernel: every
+    tile drains its own shortlist in its own near order under its own
+    prune bound, and rows of finished tiles are REVERTED after the merge
+    (their speculative clamped-cluster candidates never land). The grid
+    step's serial round count drops from sum(rounds_l) to max(rounds_l);
+    with tiles pre-sorted by shortlist-union size (the gang partition's
+    existing reorder) co-stepped tiles have similar round counts, so the
+    lockstep waste (done tiles idling to the group max) is small. The r4
+    frame profile showed kernel rounds = ~80% of a sorted trace leg and
+    round cost is serial-latency-bound, so cutting rounds ~L× is the
+    direct lever (ROADMAP round-4 profile table).
+    """
+    L, t_dim = a_ref.shape[0], a_ref.shape[1]
+    assert t_dim & (t_dim - 1) == 0, "lockstep needs power-of-two tiles"
+    t_shift = t_dim.bit_length() - 1
+    rows = L * t_dim
+    mask = (1 << cid_bits) - 1
+    import numpy as _np
+
+    done_th = int(_np.float32(_INF).view(_np.int32)) & ~mask
+    c_last = matb_ref.shape[0] - 1
+
+    a_all = a_ref[...].reshape(rows, 16)
+    excl_f = a_all[:, 14:15] if excl else None
+    t_max = a_all[:, 13]  # (rows,)
+    # per-tile A splits, hoisted: the matmuls stay per-tile so a round
+    # never materializes the (rows, 4S·gang·L) cross product (VMEM)
+    a_sps = []
+    for l in range(L):
+        a_l = a_ref[l]
+        col_l = jax.lax.broadcasted_iota(jnp.int32, a_l.shape, 1)
+        a_sps.append(_a_split(jnp.where(col_l < 10, a_l, 0.0), mm_passes))
+
+    p_bits = max(1, (n_s - 1).bit_length())
+    sl_bits = p_bits + (gang - 1).bit_length()
+    sl_mask = (1 << sl_bits) - 1
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (rows, n_s), 1)
+    iota_gs = (
+        iota_s
+        if gang == 1
+        else jnp.concatenate(
+            [iota_s + (k << p_bits) for k in range(gang)], axis=1
+        )
+    )
+    # row → tile index, as a (1, rows) lane row (for best-state masks)
+    # and a (rows, 1) column (for per-row cid operands)
+    tile_row = jax.lax.broadcasted_iota(jnp.int32, (1, rows), 1) >> t_shift
+    tile_col = (
+        jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) >> t_shift
+    )
+
+    def _sel_row(vals):
+        """(1, rows) row holding vals[l] on tile l's lane span."""
+        acc = jnp.broadcast_to(vals[0], (1, rows))
+        for l in range(1, L):
+            acc = jnp.where(tile_row == l, vals[l], acc)
+        return acc
+
+    def _sel_col(vals):
+        acc = jnp.broadcast_to(vals[0], (rows, 1))
+        for l in range(1, L):
+            acc = jnp.where(tile_col == l, vals[l], acc)
+        return acc
+
+    if any_hit:
+
+        def _bound_l(best_key, best_code, l):
+            seg = slice(l * t_dim, (l + 1) * t_dim)
+            pending = jnp.where(
+                best_code[:, seg] < 0, t_max[seg][None, :], 0.0
+            )
+            b = jnp.max(jax.lax.bitcast_convert_type(pending, jnp.int32))
+            return jnp.minimum((b + mask) & ~mask, done_th)
+
+    else:
+
+        def _bound_l(best_key, best_code, l):
+            seg = slice(l * t_dim, (l + 1) * t_dim)
+            b = jnp.max(best_key[:, seg]) | sl_mask
+            return jnp.minimum((b + mask) & ~mask, done_th)
+
+    near0 = near_ref[...].reshape(L, -1)  # (L, Cp)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, near0.shape, 1)
+    keys_all = (
+        jax.lax.bitcast_convert_type(near0, jnp.int32) & ~mask
+    ) | iota_c
+    keys0 = tuple(keys_all[l : l + 1] for l in range(L))  # (1, Cp) each
+    k0 = tuple(jnp.min(kl) for kl in keys0)
+
+    best_key0 = (
+        jax.lax.bitcast_convert_type(t_max[None, :], jnp.int32) & ~sl_mask
+    )
+    code0 = jnp.full((1, rows), -1, jnp.int32)
+    bounds0 = tuple(_bound_l(best_key0, code0, l) for l in range(L))
+
+    def cond(state):
+        _, k_t, _, _, bnd_t = state
+        alive = (k_t[0] & ~mask) < bnd_t[0]
+        for l in range(1, L):
+            alive = alive | ((k_t[l] & ~mask) < bnd_t[l])
+        return alive
+
+    def body(state):
+        keys_t, k_t, best_key, best_code, bnd_t = state
+        keys_n, k_n, acts, outs_l, cid_sets = [], [], [], [], []
+        for l in range(L):
+            kl, kc, bl = keys_t[l], k_t[l], bnd_t[l]
+            act = (kc & ~mask) < bl
+            acts.append(act)
+            # drain up to `gang` shortlist keys, exactly like the serial
+            # kernel's gang path, but gated by `act` (a finished tile
+            # must not consume; its rows are reverted after the merge)
+            cid0 = jnp.minimum(kc & mask, c_last)
+            cids = [cid0]
+            kl = jnp.where(act & (kl == kc), jnp.int32(0x7FFFFFFF), kl)
+            cur = jnp.min(kl)
+            for _ in range(1, gang):
+                take_k = act & ((cur & ~mask) < bl)
+                cids.append(
+                    jnp.where(
+                        take_k, jnp.minimum(cur & mask, c_last), cid0
+                    )
+                )
+                kl = jnp.where(
+                    take_k & (kl == cur), jnp.int32(0x7FFFFFFF), kl
+                )
+                cur = jnp.min(kl)
+            keys_n.append(kl)
+            k_n.append(cur)
+            cid_sets.append(cids)
+            if gang == 1:
+                b = matb_ref[cid0]
+            else:
+                b = jnp.concatenate(
+                    [matb_ref[c] for c in cids], axis=-1
+                )
+            outs_l.append(_mm(a_sps[l], b, mm_passes))
+        out_cat = jnp.concatenate(outs_l, axis=0)  # (rows, 4S·gang)
+        outs = [
+            out_cat[:, k * 4 * n_s : (k + 1) * 4 * n_s]
+            for k in range(gang)
+        ]
+        cid_cols = [
+            _sel_col([cid_sets[l][k] for l in range(L)])
+            for k in range(gang)
+        ]
+        nk, nc = _round_pick(
+            outs, [None] * gang, cid_cols, (best_key, best_code),
+            n_s=n_s, iota_gs=iota_gs, sl_mask=sl_mask, p_bits=p_bits,
+            approx_div=approx_div, excl_f=excl_f,
+        )
+        # revert rows of finished tiles (their clamped speculative
+        # cluster could hold never-shortlisted candidates)
+        act_row = _sel_row(acts)
+        nk = jnp.where(act_row, nk, best_key)
+        nc = jnp.where(act_row, nc, best_code)
+        bounds_n = tuple(_bound_l(nk, nc, l) for l in range(L))
+        return tuple(keys_n), tuple(k_n), nk, nc, bounds_n
+
+    _, _, best_key, best_code, _ = jax.lax.while_loop(
+        cond, body, (keys0, k0, best_key0, code0, bounds0)
+    )
+    for l in range(L):
+        seg = slice(l * t_dim, (l + 1) * t_dim)
+        seg_c = best_code[:, seg]
+        out_t_ref[l] = jnp.where(
+            seg_c >= 0,
+            jax.lax.bitcast_convert_type(
+                best_key[:, seg] & ~sl_mask, jnp.float32
+            ),
+            t_max[seg][None, :],
+        )
+        out_code_ref[l] = seg_c
+
+
 def _kernel_two_level(
     a_ref,  # (1, T, 16) ray block: [o, w, d, 1, inv_d, t_max, pad, pad]
     snear_ref,  # (1, 1, C2p) per-SUPER tile entry distances (XLA-computed)
@@ -991,7 +1199,7 @@ def _kernel_two_level(
     static_argnames=(
         "tile", "interpret", "any_hit", "derive_uv", "kernel_near",
         "tiles_per_step", "approx_div", "exact_pairs", "raw_pair",
-        "gang", "gang_frac", "mm_passes", "pipeline_rounds",
+        "gang", "gang_frac", "mm_passes", "pipeline_rounds", "lockstep",
     ),
 )
 def trace_closest_clustered_pallas(
@@ -1014,6 +1222,7 @@ def trace_closest_clustered_pallas(
     excl_code: jnp.ndarray | None = None,
     mm_passes: int = 3,
     pipeline_rounds: bool = True,
+    lockstep: bool = False,
 ) -> Hit:
     """Drop-in closest-hit using the Pallas tile kernel. With ``any_hit``
     the per-tile rounds stop as soon as every live ray has found *some*
@@ -1190,15 +1399,22 @@ def trace_closest_clustered_pallas(
             )
             scratch_shapes = []
 
-        def run_single(a_in, near_in, gs, gang_n):
+        def run_single(a_in, near_in, gs, gang_n, lock=False):
             n_t = a_in.shape[0]
-            kernel = functools.partial(
-                _kernel, n_s=s, cid_bits=cid_bits, any_hit=any_hit,
-                hbm=hbm, in_near=in_near, approx_div=approx_div,
-                pairs=pairs, gang=gang_n, excl=use_excl,
-                mm_passes=mm_passes,
-                pipelined=pipeline_rounds and not hbm,
-            )
+            if lock:
+                kernel = functools.partial(
+                    _kernel_lockstep, n_s=s, cid_bits=cid_bits,
+                    any_hit=any_hit, approx_div=approx_div,
+                    excl=use_excl, mm_passes=mm_passes, gang=gang_n,
+                )
+            else:
+                kernel = functools.partial(
+                    _kernel, n_s=s, cid_bits=cid_bits, any_hit=any_hit,
+                    hbm=hbm, in_near=in_near, approx_div=approx_div,
+                    pairs=pairs, gang=gang_n, excl=use_excl,
+                    mm_passes=mm_passes,
+                    pipelined=pipeline_rounds and not hbm,
+                )
             rs = pl.BlockSpec(
                 (gs, 1, tile), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -1244,18 +1460,55 @@ def trace_closest_clustered_pallas(
         # prune rarely fires, so the ganged clusters were going to be
         # processed anyway). Light tiles keep the one-cluster rounds
         # where the prune's early exit does the winning.
-        n_heavy = 0
-        if gang >= 2 and not hbm and not in_near and not any_hit:
-            n_heavy = (n_tiles // max(2, gang_frac) // g_step) * g_step
+        # gang_frac == 0: gang EVERY tile (one launch, no union-count
+        # sort / reorder legs). Light tiles pay up to K× extra epilogue
+        # work past their prune point, but their serial rounds drop ~K×
+        # too — measured per frame (tools/frame_profile.py gangall arms).
+        # Lockstep tile batching (see _kernel_lockstep): the L tiles of a
+        # grid step share one fused round loop, cutting the step's serial
+        # round count from sum(rounds_l) to max(rounds_l). Per-round
+        # epilogue VMEM scales with tile·L·4S·gang f32, so the in-lockstep
+        # gang is capped to keep the round block ≤ ~4 MB; heavy tiles
+        # still gang (lockstep × gang compose), light tiles run gang=1.
+        lock = (
+            lockstep and not hbm and not in_near and not pairs
+            and g_step > 1 and tile & (tile - 1) == 0
+        )
+        if lock:
+            gang_l = max(
+                1,
+                min(gang, (4 * 1024 * 1024) // (g_step * tile * 4 * s * 4)),
+            )
+        if (
+            gang >= 2 and gang_frac == 0 and not hbm and not in_near
+            and not any_hit
+        ):
+            outs = run_single(
+                a_mat, near_tc, g_step,
+                gang_l if lock else gang, lock=lock,
+            )
+            n_heavy = -1
+        else:
+            n_heavy = 0
+            if gang >= 2 and not hbm and not in_near and not any_hit:
+                n_heavy = (n_tiles // max(2, gang_frac) // g_step) * g_step
         if n_heavy >= 1 and n_tiles - n_heavy >= g_step:
             counts = jnp.sum(near_tc[:, 0, :] < _INF, axis=1)
             order = jnp.argsort(-counts)  # heavy tiles first (stable)
             inv_order = jnp.argsort(order)
             a_p = jnp.take(a_mat, order, axis=0)
             near_p = jnp.take(near_tc, order, axis=0)
-            outs_h = run_single(a_p[:n_heavy], near_p[:n_heavy], 1, gang)
+            if lock:
+                outs_h = run_single(
+                    a_p[:n_heavy], near_p[:n_heavy], g_step, gang_l,
+                    lock=True,
+                )
+            else:
+                outs_h = run_single(
+                    a_p[:n_heavy], near_p[:n_heavy], 1, gang
+                )
             outs_n = run_single(
-                a_p[n_heavy:], near_p[n_heavy:], g_step, 1
+                a_p[n_heavy:], near_p[n_heavy:], g_step, 1, lock=lock
             )
             outs = tuple(
                 jnp.take(
@@ -1263,8 +1516,8 @@ def trace_closest_clustered_pallas(
                 )
                 for oh, on in zip(outs_h, outs_n)
             )
-        else:
-            outs = run_single(a_mat, near_tc, g_step, 1)
+        elif n_heavy == 0:
+            outs = run_single(a_mat, near_tc, g_step, 1, lock=lock)
     best_t, best_code = outs[0], outs[1]
 
     def code_to_face(code):

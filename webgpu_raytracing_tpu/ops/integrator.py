@@ -92,6 +92,7 @@ def _trace_closest(
             gang_frac=settings.trace_gang_frac,
             mm_passes=settings.mm_passes,
             pipeline_rounds=settings.pipeline_rounds,
+            lockstep=settings.lockstep_tiles,
             # sorted path: re-derive u/v after unsorting (2 fewer unsort
             # scatters; the algebra only needs original-order o/d/face)
             derive_uv=not use_sort,
@@ -164,6 +165,7 @@ def _trace_any(
                 tiles_per_step=settings.tiles_per_step, any_hit=True,
                 excl_code=ex_, mm_passes=settings.mm_passes,
                 pipeline_rounds=settings.pipeline_rounds,
+                lockstep=settings.lockstep_tiles,
             )
             return hit.face >= 0
 
