@@ -205,9 +205,23 @@ def test_golden_vs_real_kernel(env):
         r.step(seed=int(seed))
     ours = np.asarray(r.buffers.image)
     a, b = _normalized(ours), _normalized(z["image"])
-    mismatched = int((np.abs(a - b).max(axis=-1) > 1e-6).sum())
+    flipped = np.abs(a - b).max(axis=-1) > 1e-6
+    mismatched = int(flipped.sum())
     rmse = _rmse(a, b)
-    assert rmse <= 1e-3 and mismatched <= 5, (
-        f"real-kernel parity regression: rmse {rmse}, "
+    rmse_rest = _rmse(
+        np.where(flipped[..., None], b, a), b
+    )  # everything except the flipped pixels must be BITWISE clean
+    # Three-part bar replacing the old `rmse <= 1e-3 and mismatched <= 5`
+    # (r4): the deterministic trig/sqrt/product rewrites that close the
+    # TPU↔CPU raygen divergence legitimately move XLA:CPU sampler draws
+    # by 1 ulp (XLA:CPU trig is not correctly rounded; the det versions
+    # are), which flips ONE knife-edge path on this golden (1/2304,
+    # rmse 0.0073 — a single bright-path flip exceeds 1e-3 at 48² all
+    # by itself). Decorrelated knife-edge flips are the anticipated
+    # class; systematic error classes still fail loudly: the
+    # pre-exclusion bug was 352 mismatched pixels (mismatched bar), and
+    # any sub-threshold drift on agreeing pixels trips rmse_rest.
+    assert rmse_rest <= 1e-7 and mismatched <= 5 and rmse <= 1e-2, (
+        f"real-kernel parity regression: rmse {rmse} (rest {rmse_rest}), "
         f"{mismatched}/{a.shape[0] * a.shape[1]} mismatched"
     )

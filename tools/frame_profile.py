@@ -64,6 +64,14 @@ def synth_equirect(h=2048, w=4096):
 
 
 def run(label, settings, tables, env):
+    try:
+        _run(label, settings, tables, env)
+    except Exception as e:  # one bad arm must not kill the batch
+        msg = str(e).split("\n")[0][:200]
+        print(json.dumps({"label": label, "error": msg}), flush=True)
+
+
+def _run(label, settings, tables, env):
     buffers = FrameBuffers.create(W, H)
     view = jnp.eye(4, dtype=jnp.float32)
     t0 = time.perf_counter()

@@ -75,6 +75,8 @@ else:
         tile=128, tiles_per_step=8, exact_pairs=False, gang=8, gang_frac=8,
         mm_passes=2,
     )
+if os.environ.get("PROF_LOCK"):  # r4 lockstep tile batching
+    KW["lockstep"] = True
 if os.environ.get("PROF_INTERPRET"):  # CPU smoke test
     KW["interpret"] = True
     KW["gang"] = 0

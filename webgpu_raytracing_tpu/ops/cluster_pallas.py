@@ -878,7 +878,9 @@ def _kernel_lockstep(
     )
 
     def _sel_row(vals):
-        """(1, rows) row holding vals[l] on tile l's lane span."""
+        """(1, rows) i32 row holding vals[l] on tile l's lane span
+        (i32 only: Mosaic rejects i1 splat/select chains with a
+        'target bitwidth for truncation' error)."""
         acc = jnp.broadcast_to(vals[0], (1, rows))
         for l in range(1, L):
             acc = jnp.where(tile_row == l, vals[l], acc)
@@ -979,7 +981,7 @@ def _kernel_lockstep(
         )
         # revert rows of finished tiles (their clamped speculative
         # cluster could hold never-shortlisted candidates)
-        act_row = _sel_row(acts)
+        act_row = _sel_row([a.astype(jnp.int32) for a in acts]) == 1
         nk = jnp.where(act_row, nk, best_key)
         nc = jnp.where(act_row, nc, best_code)
         bounds_n = tuple(_bound_l(nk, nc, l) for l in range(L))
@@ -1483,10 +1485,25 @@ def trace_closest_clustered_pallas(
             gang >= 2 and gang_frac == 0 and not hbm and not in_near
             and not any_hit
         ):
-            outs = run_single(
-                a_mat, near_tc, g_step,
-                gang_l if lock else gang, lock=lock,
-            )
+            if lock:
+                # one launch, every tile ganged INSIDE the lockstep — but
+                # still union-sorted: lockstep groups pay max(rounds_l),
+                # so homogeneous groups matter (CPU sim: sorted grouping
+                # 1262 vs ray-order 4377 serial rounds at L=8,
+                # tools/lockstep_sim.py)
+                counts = jnp.sum(near_tc[:, 0, :] < _INF, axis=1)
+                order = jnp.argsort(-counts)
+                inv_order = jnp.argsort(order)
+                outs = run_single(
+                    jnp.take(a_mat, order, axis=0),
+                    jnp.take(near_tc, order, axis=0),
+                    g_step, gang_l, lock=True,
+                )
+                outs = tuple(
+                    jnp.take(o_, inv_order, axis=0) for o_ in outs
+                )
+            else:
+                outs = run_single(a_mat, near_tc, g_step, gang)
             n_heavy = -1
         else:
             n_heavy = 0

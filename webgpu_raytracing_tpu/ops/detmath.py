@@ -42,12 +42,24 @@ _SPLIT = 4097.0
 
 def _two_prod(x, y):
     """Exact f32 product: returns (p, err) with x*y == p + err exactly
-    (Dekker two-product via Veltkamp splitting; no FMA dependence)."""
-    p = x * y
-    cx = jnp.float32(_SPLIT) * x
+    (Dekker two-product via Veltkamp splitting; no FMA dependence).
+
+    The ``optimization_barrier`` calls are load-bearing: in real-sized
+    fusions XLA's algebraic simplifier treats the split as associative
+    algebra — ``cx - (cx - x)`` folds to ``x``, the error term collapses
+    to zero, and the "corrected" result silently degrades to the plain
+    platform product (measured r4: the same collapse hit the trig
+    module's ``_two_sum``, and an unbarriered det_sqrt left the TPU
+    sqrt divergence fully intact — st2 probe 1204/2304 lanes). The
+    returned ``p`` is barriered too so callers' ``(x - p) - err``
+    residuals can't re-fuse with the product."""
+    import jax
+
+    p = jax.lax.optimization_barrier(x * y)
+    cx = jax.lax.optimization_barrier(jnp.float32(_SPLIT) * x)
     xh = cx - (cx - x)
     xl = x - xh
-    cy = jnp.float32(_SPLIT) * y
+    cy = jax.lax.optimization_barrier(jnp.float32(_SPLIT) * y)
     yh = cy - (cy - y)
     yl = y - yh
     err = ((xh * yh - p) + xh * yl + xl * yh) + xl * yl

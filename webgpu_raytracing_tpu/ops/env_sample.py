@@ -67,18 +67,25 @@ def build_env_distribution(img: np.ndarray) -> EnvDistribution:
     )
 
 
-def _searchsorted(cdf: jnp.ndarray, u: jnp.ndarray, axis_len: int):
-    """First index with cdf[i] >= u; cdf is (..., N) row-wise inclusive."""
-    lo = jnp.zeros(u.shape, jnp.int32)
-    hi = jnp.full(u.shape, axis_len, jnp.int32)
-    steps = int(np.ceil(np.log2(axis_len))) + 1
-    for _ in range(steps):
-        mid = (lo + hi) // 2
-        cm = jnp.take_along_axis(cdf, mid[..., None], axis=-1)[..., 0]
-        go_right = cm < u
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    return jnp.clip(lo, 0, axis_len - 1)
+def _invert_cdf(cdf_rows: jnp.ndarray, u: jnp.ndarray, axis_len: int):
+    """First index with cdf[i] >= u = count of entries < u (the CDF rows
+    are monotone inclusive cumsums, so the compare-count IS the binary
+    search result, fully vectorized, no data-dependent control flow)."""
+    return jnp.clip(
+        jnp.sum((cdf_rows < u[..., None]).astype(jnp.int32), axis=-1),
+        0,
+        axis_len - 1,
+    )
+
+
+def _chunked_map(fn, args, n, budget_elems: int):
+    """lax.map over ray chunks so per-chunk temporaries stay bounded —
+    a 1080p bounce wave is ~2M lanes, and materializing a (R, W=4096)
+    gather/compare at once is a 34 GB allocation (measured: the r4
+    config-#3 arm OOM-ed exactly there). Shapes must be static: n is the
+    static lane count, budget_elems bounds chunk·W elements."""
+    batch = max(1, min(n, budget_elems))
+    return jax.lax.map(fn, args, batch_size=batch)
 
 
 def sample_env(
@@ -89,11 +96,26 @@ def sample_env(
     t2, state = rng.random_2(state)
     u1, u2 = t2[..., 0], t2[..., 1]
 
-    row = _searchsorted(
-        jnp.broadcast_to(dist.row_cdf, u1.shape + (h,)), u1, h
+    flat_shape = u1.shape
+    u1f, u2f = u1.reshape(-1), u2.reshape(-1)
+    n = u1f.shape[0]
+
+    def row_body(u):
+        return _invert_cdf(dist.row_cdf, u, h)
+
+    row = _chunked_map(
+        row_body, u1f, n, budget_elems=(8 << 20) // max(1, h)
     )
-    cond = jnp.take(dist.cond_cdf, row, axis=0)  # (..., W)
-    col = _searchsorted(cond, u2, w)
+
+    def col_body(args):
+        r, u = args
+        return _invert_cdf(jnp.take(dist.cond_cdf, r, axis=0), u, w)
+
+    col = _chunked_map(
+        col_body, (row, u2f), n, budget_elems=(8 << 20) // max(1, w)
+    )
+    row = row.reshape(flat_shape)
+    col = col.reshape(flat_shape)
 
     vq = (row.astype(jnp.float32) + 0.5) / h
     uq = (col.astype(jnp.float32) + 0.5) / w
