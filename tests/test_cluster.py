@@ -368,16 +368,19 @@ def test_pallas_lockstep_bit_identical(rng_np):
             jnp.asarray(o), jnp.asarray(d), tmax, tables, tile=128,
             interpret=True, exact_pairs=False, any_hit=any_hit,
         )
-        for kw in (
-            dict(tiles_per_step=2),
-            dict(tiles_per_step=4),
+        for tile, kw in (
+            (128, dict(tiles_per_step=2)),
+            (128, dict(tiles_per_step=4)),
             # heavy/light split: 8 tiles, frac 2 -> 4 heavy (ganged
             # inside the lockstep) + 4 light
-            dict(tiles_per_step=2, gang=2, gang_frac=2),
-            dict(tiles_per_step=2, gang=4, gang_frac=0),
+            (128, dict(tiles_per_step=2, gang=2, gang_frac=2)),
+            (128, dict(tiles_per_step=2, gang=4, gang_frac=0)),
+            # small tiles (the r4 throughput configuration)
+            (32, dict(tiles_per_step=32)),
+            (64, dict(tiles_per_step=8, gang=2, gang_frac=2)),
         ):
             got = trace_closest_clustered_pallas(
-                jnp.asarray(o), jnp.asarray(d), tmax, tables, tile=128,
+                jnp.asarray(o), jnp.asarray(d), tmax, tables, tile=tile,
                 interpret=True, exact_pairs=False, any_hit=any_hit,
                 lockstep=True, **kw,
             )

@@ -161,6 +161,34 @@ def main():
         "lock_tps16": base.replace(lockstep_tiles=True, tiles_per_step=16),
         "lock_gangall": base.replace(lockstep_tiles=True, trace_gang_frac=0),
         "lock_tps4": base.replace(lockstep_tiles=True, tiles_per_step=4),
+        # small tiles x lockstep (r4: the kernel is VPU-THROUGHPUT-bound
+        # on epilogue work = tile_rounds x 4S per ray; tile=32 nearly
+        # halves it — work/ray 6.37 vs 12.05, tools/ lockstep work sim —
+        # while lockstep absorbs the serial-round penalty that sank
+        # small tiles before)
+        "lock32": base.replace(
+            lockstep_tiles=True, trace_tile=32, tiles_per_step=32
+        ),
+        "lock32_gangall": base.replace(
+            lockstep_tiles=True, trace_tile=32, tiles_per_step=32,
+            trace_gang_frac=0,
+        ),
+        "lock64": base.replace(
+            lockstep_tiles=True, trace_tile=64, tiles_per_step=16
+        ),
+        "lock64_gangall": base.replace(
+            lockstep_tiles=True, trace_tile=64, tiles_per_step=16,
+            trace_gang_frac=0,
+        ),
+        # approx-reciprocal round picks, re-armed with the r4 inflated
+        # prune bound (the r3 parity catastrophe was the bound consuming
+        # underestimated t; ranking flips are knife-edge noise) — time
+        # here, parity via tools/parity_tpu.py PARITY_OPTS=approx_div=1
+        "adiv": base.replace(approx_div=True),
+        "lock32_adiv": base.replace(
+            lockstep_tiles=True, trace_tile=32, tiles_per_step=32,
+            trace_gang_frac=0, approx_div=True,
+        ),
         # chained segment sorting re-check: the r3 ablation measured -4%
         # in the pairs-era kernel; with the folded/ganged trace the sort
         # legs are a larger frame fraction, so re-measure

@@ -70,15 +70,18 @@ def main():
         o, d, state = camera_rays(pos, view, state, settings)
         tmax = jnp.full((R,), F32_MAX, jnp.float32)
 
+        # tables as an explicit jit ARG: a closed-over 1M-tri table pytree
+        # gets lifted into HLO constants, and the remote-compile request
+        # body blows the tunnel's size limit (measured: HTTP 413)
         @jax.jit
-        def primary(o, d, tm):
+        def primary(o, d, tm, tb):
             return trace_closest_clustered_pallas(
-                o, d, tm, tables, tile=128, exact_pairs=True
+                o, d, tm, tb, tile=128, exact_pairs=True
             )
 
         # compile + warm
         t0 = time.perf_counter()
-        hit = primary(o, d, tmax)
+        hit = primary(o, d, tmax, tables)
         float(jnp.sum(hit.t))
         compile_s = time.perf_counter() - t0
 
@@ -86,7 +89,7 @@ def main():
         t0 = time.perf_counter()
         acc = jnp.zeros((), jnp.float32)
         for i in range(REPS):
-            h = primary(o, d, tmax * (1.0 + 1e-7 * i))
+            h = primary(o, d, tmax * (1.0 + 1e-7 * i), tables)
             acc = acc + jnp.sum(h.t)
         float(acc)
         dtp = (time.perf_counter() - t0) / REPS
@@ -112,7 +115,7 @@ def main():
             bsets.append((no, nd, btm))
 
         @jax.jit
-        def bounce(o_, d_, tm_):
+        def bounce(o_, d_, tm_, tb_):
             def tf(oo, dd, tt, tb, act):
                 h = trace_closest_clustered_pallas(
                     oo, dd, tt, tb, act, tile=128, exact_pairs=False,
@@ -120,16 +123,16 @@ def main():
                 )
                 return h.t, h.face
 
-            return sorted_trace(tf, o_, d_, tm_, tables, None)
+            return sorted_trace(tf, o_, d_, tm_, tb_, None)
 
         t0 = time.perf_counter()
-        out = bounce(*bsets[0])
+        out = bounce(*bsets[0], tables)
         float(jnp.sum(out[0]))
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         acc = jnp.zeros((), jnp.float32)
         for i in range(REPS):
-            out = bounce(*bsets[i % 2])
+            out = bounce(*bsets[i % 2], tables)
             acc = acc + jnp.sum(out[0])
         float(acc)
         dtb = (time.perf_counter() - t0) / REPS

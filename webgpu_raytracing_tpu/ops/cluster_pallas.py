@@ -203,10 +203,12 @@ def _round_pick(
             rel = excl_f.astype(jnp.int32) - 1 - cid_k * n_s
             not_self = iota_si != rel
         if out_mag is None:
+            # u <= det is implied: v >= 0 and u+v <= det give
+            # u <= u+v <= det (and a NaN in any term fails some compare
+            # anyway), so the reference's u > 1 reject needs no own gate
             valid = (
                 (det >= _EPS2)
                 & (u_num >= 0.0)
-                & (u_num <= det)
                 & (v_num >= 0.0)
                 & (u_num + v_num <= det)
             )
@@ -534,7 +536,16 @@ def _kernel_one_tile(
     # step ≈ 2^-23 relative), so adding 2^9 steps inflates the bound by
     # ~2^-14 relative — the same safety the margined gates use. Costs at
     # most a couple of extra rounds per tile.
+    # approx_div: the approximate-reciprocal t (~2^-12 relative) can
+    # UNDERESTIMATE the carried best, and a bound anchored on it prunes
+    # clusters that still hold the true winner — the r3 approx_div
+    # parity catastrophe (48²·4spp RMSE 1.56) was this SYSTEMATIC class,
+    # not the knife-edge ranking flips. 2^12 int-key steps ≈ 2^-11
+    # relative restores a conservative bound (costs ≤ a couple of extra
+    # rounds); ranking flips remain as rare knife-edge noise.
     binfl = (1 << 9) if pairs else 0
+    if approx_div:
+        binfl = max(binfl, 1 << 12)
 
     if any_hit:
         def _bound(best):
@@ -903,11 +914,13 @@ def _kernel_lockstep(
             return jnp.minimum((b + mask) & ~mask, done_th)
 
     else:
+        # approx_div bound inflation — see the serial kernel's binfl note
+        binfl = (1 << 12) if approx_div else 0
 
         def _bound_l(best_key, best_code, l):
             seg = slice(l * t_dim, (l + 1) * t_dim)
             b = jnp.max(best_key[:, seg]) | sl_mask
-            return jnp.minimum((b + mask) & ~mask, done_th)
+            return jnp.minimum((b + binfl + mask) & ~mask, done_th)
 
     near0 = near_ref[...].reshape(L, -1)  # (L, Cp)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, near0.shape, 1)
