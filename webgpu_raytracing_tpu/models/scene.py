@@ -130,7 +130,11 @@ class Scene:
             # clusters would dominate (large scenes, BASELINE config #5):
             # ~C > 1024 means >1024-lane near vectors per 256-ray tile
             total_faces = sum(len(m.faces) for m in self.models)
-            group_size = 128 if total_faces > 1024 * cluster_size else 0
+            # G=64 beats G=128 on chip (r4, tools/stress_bench.py on the
+            # 1M-tri scene: primary 1.98 vs 1.27 Mrays/s, bounce-
+            # inclusive 0.74 vs 0.59 — the r2 CPU study's -29% inner
+            # rounds at G=64, confirmed on hardware)
+            group_size = 64 if total_faces > 1024 * cluster_size else 0
         # two-sided duplicate map: face j is i's partner iff it has the
         # same p0 with e1/e2 swapped (build_faces interleaves duplicates;
         # geometric matching keeps this correct across single-sided

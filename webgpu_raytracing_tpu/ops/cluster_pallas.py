@@ -28,6 +28,7 @@ Layout notes:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +43,13 @@ from .traverse import Hit
 _EPS2 = EPSILON * EPSILON
 _INF = float(F32_MAX)
 _NEAR_CHUNK = 128  # rays per in-kernel box-test chunk (bounds VMEM temps)
+
+# Measurement-only ablations (WRT_ABLATE=noprune,nodiv,nogates,mmonly):
+# semantics-BREAKING kernel variants for on-chip cost attribution —
+# `noprune` fixes the round count at the full shortlist (so piece
+# deltas aren't confounded by prune dynamics), the others stub epilogue
+# pieces. Never set outside tools/; results are wrong by design.
+_ABLATE = frozenset(filter(None, os.environ.get("WRT_ABLATE", "").split(",")))
 
 # Relative validity margin for the pairs (exact-adjudication) path, scaled
 # by the per-candidate magnitude bound |a|@|b|: the 3-pass bf16 hi/lo dot
@@ -203,15 +211,25 @@ def _round_pick(
             rel = excl_f.astype(jnp.int32) - 1 - cid_k * n_s
             not_self = iota_si != rel
         if out_mag is None:
+            if "mmonly" in _ABLATE:  # measurement stub: matmul + 1 reduce
+                fold = jnp.min(out, axis=1)
+                nb = jnp.minimum(
+                    best[0],
+                    jax.lax.bitcast_convert_type(fold, jnp.int32)[None, :],
+                )
+                return nb, best[1]
             # u <= det is implied: v >= 0 and u+v <= det give
             # u <= u+v <= det (and a NaN in any term fails some compare
             # anyway), so the reference's u > 1 reject needs no own gate
-            valid = (
-                (det >= _EPS2)
-                & (u_num >= 0.0)
-                & (v_num >= 0.0)
-                & (u_num + v_num <= det)
-            )
+            if "nogates" in _ABLATE:  # measurement stub
+                valid = det >= _EPS2
+            else:
+                valid = (
+                    (det >= _EPS2)
+                    & (u_num >= 0.0)
+                    & (v_num >= 0.0)
+                    & (u_num + v_num <= det)
+                )
             if not_self is not None:
                 valid = valid & not_self
         else:
@@ -256,7 +274,9 @@ def _round_pick(
         # (the approximate t feeds the candidate ranking AND the tile
         # t-prune bound); keep off unless re-validated.
         det_safe = jnp.where(valid, det, 1.0)
-        if approx_div:
+        if "nodiv" in _ABLATE:  # measurement stub: skip the reciprocal
+            inv_det = det_safe
+        elif approx_div:
             inv_det = pl.reciprocal(det_safe, approx=True)
         else:
             inv_det = 1.0 / det_safe
@@ -547,7 +567,13 @@ def _kernel_one_tile(
     if approx_div:
         binfl = max(binfl, 1 << 12)
 
-    if any_hit:
+    if "noprune" in _ABLATE:
+        # measurement stub: fixed bound = process the WHOLE shortlist
+        # (rounds = union size, stable across epilogue ablations)
+        def _bound(best):
+            return jnp.int32(done_th)
+
+    elif any_hit:
         def _bound(best):
             pending = jnp.where(best[1] < 0, t_max[None, :], 0.0)
             b = jnp.max(jax.lax.bitcast_convert_type(pending, jnp.int32))
