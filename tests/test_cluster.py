@@ -395,3 +395,55 @@ def test_pallas_lockstep_bit_identical(rng_np):
                 np.testing.assert_array_equal(
                     np.asarray(got.t), np.asarray(base.t)
                 )
+
+
+def test_pallas_sched_bit_identical(rng_np):
+    """The schedule-fed kernel (_kernel_sched: XLA-sorted per-tile
+    cluster schedules in SMEM, J-block rounds, deferred bound) must
+    return the same faces as the drain-based serial kernel — it drains
+    the same shortlist in the same near order; speculative past-the-
+    bound block entries are idempotent in the packed-key min merge.
+    t is re-derived exactly from the face, so it matches bit-for-bit
+    whenever faces do (despite the J-tag widening the key's slot
+    bits)."""
+    from webgpu_raytracing_tpu.ops.cluster_pallas import (
+        trace_closest_clustered_pallas,
+    )
+
+    scene = _scene()
+    tables = scene.tables()
+    n = 1000  # pads to 8 tiles of 128 (tail partially dead)
+    o = rng_np.uniform(-3, 3, (n, 3)).astype(np.float32)
+    d = rng_np.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmax = jnp.full((n,), F32_MAX, jnp.float32)
+    base = trace_closest_clustered_pallas(
+        jnp.asarray(o), jnp.asarray(d), tmax, tables, tile=128,
+        interpret=True, exact_pairs=False,
+    )
+    # excl path: pretend each ray's source face is its base hit (the
+    # exclusion must keep working without a drain)
+    excl = jnp.maximum(jnp.asarray(base.face), 0)
+    for jblk, tile, tps in ((1, 128, 2), (2, 128, 4), (4, 128, 8),
+                            (8, 128, 2), (4, 256, 4)):
+        got = trace_closest_clustered_pallas(
+            jnp.asarray(o), jnp.asarray(d), tmax, tables, tile=tile,
+            interpret=True, exact_pairs=False, sched_rounds=jblk,
+            tiles_per_step=tps,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.face), np.asarray(base.face)
+        )
+        np.testing.assert_array_equal(np.asarray(got.t), np.asarray(base.t))
+    base_x = trace_closest_clustered_pallas(
+        jnp.asarray(o), jnp.asarray(d), tmax, tables, tile=128,
+        interpret=True, exact_pairs=False, excl_code=excl,
+    )
+    got_x = trace_closest_clustered_pallas(
+        jnp.asarray(o), jnp.asarray(d), tmax, tables, tile=128,
+        interpret=True, exact_pairs=False, excl_code=excl,
+        sched_rounds=4, tiles_per_step=4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_x.face), np.asarray(base_x.face)
+    )

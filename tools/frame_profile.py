@@ -189,6 +189,12 @@ def main():
             lockstep_tiles=True, trace_tile=32, tiles_per_step=32,
             trace_gang_frac=0, approx_div=True,
         ),
+        # schedule-fed round loop (r4 _kernel_sched): closest-hit legs
+        # use XLA-sorted SMEM cluster schedules (no drain/extract);
+        # shadow legs keep the drain kernel (any_hit unsupported)
+        "sched2": base.replace(trace_sched=2),
+        "sched4": base.replace(trace_sched=4),
+        "sched8": base.replace(trace_sched=8),
         # chained segment sorting re-check: the r3 ablation measured -4%
         # in the pairs-era kernel; with the folded/ganged trace the sort
         # legs are a larger frame fraction, so re-measure

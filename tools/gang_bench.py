@@ -107,11 +107,14 @@ def main():
     settings = RenderSettings(width=W, height=H)
     (po, pd, ptm), bounce_sets = make_rays(tables, settings)
 
-    def sorted_pairs(gang, gang_frac, exact_pairs, approx_div=False, mm=3):
+    def sorted_pairs(
+        gang, gang_frac, exact_pairs, approx_div=False, mm=3, sched=0,
+        tile=128, tps=8,
+    ):
         kw = dict(
-            tile=128, tiles_per_step=8, approx_div=approx_div,
+            tile=tile, tiles_per_step=tps, approx_div=approx_div,
             exact_pairs=exact_pairs, gang=gang, gang_frac=gang_frac,
-            mm_passes=mm,
+            mm_passes=mm, sched_rounds=sched,
         )
 
         @jax.jit
@@ -213,6 +216,25 @@ def main():
         ),
         "primary_nopairs_g0": lambda: timed(
             primary(0, 8, False), [(po, pd, ptm)], "primary_nopairs_g0"
+        ),
+        # schedule-fed round loop (r4, _kernel_sched): XLA-sorted per-tile
+        # cluster schedules in SMEM — no in-kernel drain, no per-round
+        # scalar extraction; J-block rounds vs the gang=8 production arm
+        "bounce_sched2_mm2": lambda: timed(
+            sorted_pairs(0, 8, False, mm=2, sched=2), bounce_sets,
+            "bounce_sched2_mm2",
+        ),
+        "bounce_sched4_mm2": lambda: timed(
+            sorted_pairs(0, 8, False, mm=2, sched=4), bounce_sets,
+            "bounce_sched4_mm2",
+        ),
+        "bounce_sched8_mm2": lambda: timed(
+            sorted_pairs(0, 8, False, mm=2, sched=8), bounce_sets,
+            "bounce_sched8_mm2",
+        ),
+        "bounce_sched4_t256": lambda: timed(
+            sorted_pairs(0, 8, False, mm=2, sched=4, tile=256, tps=4),
+            bounce_sets, "bounce_sched4_t256",
         ),
     }
     only = sys.argv[1:]

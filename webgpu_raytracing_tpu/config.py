@@ -271,6 +271,18 @@ class RenderSettings:
     # profile (ROADMAP) put kernel rounds at ~80% of a sorted trace leg
     # with rounds serial-latency-bound — this is the round-count lever.
     lockstep_tiles: bool = False
+    # Schedule-fed round loop (ops/cluster_pallas._kernel_sched),
+    # closest-hit non-pairs legs only: the per-tile near-ordered cluster
+    # schedule is sorted in XLA (one (n_tiles, Cp) row-sort of the same
+    # packed keys the kernel otherwise drains round-by-round) and read
+    # as SMEM scalars; rounds run in blocks of this many clusters (one
+    # wide matmul + one epilogue + one bound refresh per block). Kills
+    # the in-kernel drain and the per-round vector→scalar extraction,
+    # which the r4 WRT_ABLATE attribution put at roughly half the
+    # serial round cost (mmonly 191 vs full 236 ms at fixed rounds,
+    # with gates 46 ms and div/mul/select/pack ≈ 0 — ROADMAP r4).
+    # 0 disables (the drain-based kernels above).
+    trace_sched: int = 0
     # Sort bounce/shadow rays by nearest hit cluster before tracing
     # (ops/ray_sort.py): collapses tile cluster-unions ~4x on incoherent
     # segments and compacts dead lanes to the back (the wavefront-

@@ -838,6 +838,118 @@ def _kernel_one_tile(
         out_amb_ref[g] = _amb_flag(best, sl_mask)
 
 
+def _kernel_sched(
+    a_ref,  # (G, T, 16) ray blocks: [o, w, d, 1, inv_d, t_max, excl, pad]
+    sched_ref,  # (G, 1, Cp) i32 SMEM: per-tile (near | cid) keys, ASCENDING
+    matb_ref,  # (C, rows_b, 4S) cluster matrices (VMEM)
+    out_t_ref,  # (G, 1, T)
+    out_code_ref,  # (G, 1, T) i32: winning cid * S + slot (-1 = miss)
+    *,
+    n_s: int,
+    cid_bits: int,
+    approx_div: bool = False,
+    excl: bool = False,
+    mm_passes: int = 3,
+    jblk: int = 4,
+):
+    """Schedule-fed round loop (closest-hit, no pairs): the per-tile
+    near-ordered cluster order is SORTED IN XLA (one row-sort of the
+    packed (near | cid) keys the serial kernel builds in-kernel) and
+    delivered as SMEM scalars, so the kernel's shortlist DRAIN — the
+    per-round masked min-reduce over (1, Cp) plus a vector→scalar
+    extraction, measured at roughly half the per-round cost of the
+    serial loop (WRT_ABLATE attribution, ROADMAP r4) — disappears
+    entirely: each round reads its cluster ids with scalar SMEM loads.
+
+    Rounds run in blocks of ``jblk`` (one wide gang-style matmul + ONE
+    epilogue/pick per block), with the prune bound refreshed once per
+    block. Past-the-bound block entries are processed SPECULATIVELY
+    (the merge is an idempotent packed-key min and the gates + the
+    ``cand < best`` compare reject anything that could not win, exactly
+    the serial gang path's argument), so per-tile results are identical
+    to the serial kernel up to the packed key's slot-bit truncation
+    granularity (jblk tag bits, same class as ``gang``)."""
+    import numpy as _np
+
+    for g in range(a_ref.shape[0]):
+        a = a_ref[g]  # (T, 16)
+        excl_f = a[:, 14:15] if excl else None
+        t_dim = a.shape[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+        a_sp = _a_split(jnp.where(col < 10, a, 0.0), mm_passes)
+        t_max = a[:, 13]
+        cp = sched_ref.shape[2]
+        mask = (1 << cid_bits) - 1
+        done_th = int(_np.float32(_INF).view(_np.int32)) & ~mask
+        c_last = matb_ref.shape[0] - 1
+        p_bits = max(1, (n_s - 1).bit_length())
+        sl_bits = p_bits + (jblk - 1).bit_length()
+        sl_mask = (1 << sl_bits) - 1
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (t_dim, n_s), 1)
+        iota_gs = (
+            iota_s
+            if jblk == 1
+            else jnp.concatenate(
+                [iota_s + (k << p_bits) for k in range(jblk)], axis=1
+            )
+        )
+        binfl = (1 << 12) if approx_div else 0
+
+        def _bound(best):
+            b = jnp.max(best[0]) | sl_mask
+            return jnp.minimum((b + binfl + mask) & ~mask, done_th)
+
+        def cond(state):
+            j, k_cur, best, bound = state
+            return ((k_cur & ~mask) < bound) & (j < cp)
+
+        def body(state):
+            j, k_cur, best, bound = state
+            # this block's jblk cluster ids: scalar SMEM reads (clamped
+            # at the tail; clamp duplicates are idempotent in the merge)
+            cids = []
+            k = k_cur
+            for jj in range(jblk):
+                cids.append(jnp.minimum(k & mask, c_last))
+                jn = jnp.minimum(j + jj + 1, cp - 1)
+                k = sched_ref[g, 0, jn]
+            if jblk == 1:
+                b = matb_ref[cids[0]]
+            else:
+                b = jnp.concatenate(
+                    [matb_ref[c] for c in cids], axis=-1
+                )
+            out = _mm(a_sp, b, mm_passes)
+            outs = [
+                out[:, kk * 4 * n_s : (kk + 1) * 4 * n_s]
+                for kk in range(jblk)
+            ]
+            best = _round_pick(
+                outs, [None] * jblk, cids, best,
+                n_s=n_s, iota_gs=iota_gs, sl_mask=sl_mask, p_bits=p_bits,
+                approx_div=approx_div, excl_f=excl_f,
+            )
+            return j + jblk, k, best, _bound(best)
+
+        best_key0 = (
+            jax.lax.bitcast_convert_type(t_max[None, :], jnp.int32)
+            & ~sl_mask
+        )
+        code0 = jnp.full((1, t_dim), -1, jnp.int32)
+        best0 = (best_key0, code0)
+        k0 = sched_ref[g, 0, 0]
+        _, _, best, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), k0, best0, _bound(best0))
+        )
+        best_key, best_code = best
+        out_t_ref[g] = jnp.where(
+            best_code >= 0,
+            jax.lax.bitcast_convert_type(best_key & ~sl_mask, jnp.float32),
+            t_max[None, :],
+        )
+        out_code_ref[g] = best_code
+
+
 def _kernel_lockstep(
     a_ref,  # (L, T, 16) ray blocks: [o, w, d, 1, inv_d, t_max, excl, pad]
     near_ref,  # (L, 1, Cp) per-tile cluster entry distances (XLA)
@@ -1241,6 +1353,7 @@ def _kernel_two_level(
         "tile", "interpret", "any_hit", "derive_uv", "kernel_near",
         "tiles_per_step", "approx_div", "exact_pairs", "raw_pair",
         "gang", "gang_frac", "mm_passes", "pipeline_rounds", "lockstep",
+        "sched_rounds",
     ),
 )
 def trace_closest_clustered_pallas(
@@ -1264,6 +1377,7 @@ def trace_closest_clustered_pallas(
     mm_passes: int = 3,
     pipeline_rounds: bool = True,
     lockstep: bool = False,
+    sched_rounds: int = 0,
 ) -> Hit:
     """Drop-in closest-hit using the Pallas tile kernel. With ``any_hit``
     the per-tile rounds stop as soon as every live ray has found *some*
@@ -1521,6 +1635,58 @@ def trace_closest_clustered_pallas(
                 min(gang, (4 * 1024 * 1024) // (g_step * tile * 4 * s * 4)),
             )
         if (
+            sched_rounds > 0 and not pairs and not any_hit and not hbm
+            and not in_near
+        ):
+            # schedule-fed kernel (:func:`_kernel_sched`): the per-tile
+            # cluster order is sorted HERE — one (n_tiles, Cp) row-sort
+            # of the same packed (near | cid) keys the serial kernel
+            # builds in-kernel — and handed over as SMEM scalars, so the
+            # kernel round loop has no shortlist drain and no per-round
+            # vector→scalar extraction. No heavy/light partition: the
+            # jblk-wide blocks amortize the per-round machinery on every
+            # tile (speculative tail entries are idempotent).
+            cmask = (1 << cid_bits) - 1
+            iota_c2 = jax.lax.broadcasted_iota(
+                jnp.int32, (n_tiles, cp), 1
+            )
+            skeys = (
+                jax.lax.bitcast_convert_type(
+                    near_tc.reshape(n_tiles, cp), jnp.int32
+                )
+                & ~cmask
+            ) | iota_c2
+            sched = jax.lax.sort(skeys, dimension=1, is_stable=False)
+            kernel = functools.partial(
+                _kernel_sched, n_s=s, cid_bits=cid_bits,
+                approx_div=approx_div, excl=use_excl,
+                mm_passes=mm_passes, jblk=sched_rounds,
+            )
+            rs = pl.BlockSpec(
+                (g_step, 1, tile), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            asp = pl.BlockSpec(
+                (g_step, tile, 16), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            ssp = pl.BlockSpec(
+                (g_step, 1, cp), lambda i: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            )
+            outs = pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[asp, ssp, matb_spec],
+                out_specs=(rs, rs),
+                out_shape=(
+                    jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.float32),
+                    jax.ShapeDtypeStruct((n_tiles, 1, tile), jnp.int32),
+                ),
+                interpret=interpret,
+            )(a_mat, sched.reshape(n_tiles, 1, cp), matb)
+            n_heavy = -1
+        elif (
             gang >= 2 and gang_frac == 0 and not hbm and not in_near
             and not any_hit
         ):

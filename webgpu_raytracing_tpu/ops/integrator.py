@@ -93,6 +93,7 @@ def _trace_closest(
             mm_passes=settings.mm_passes,
             pipeline_rounds=settings.pipeline_rounds,
             lockstep=settings.lockstep_tiles,
+            sched_rounds=settings.trace_sched,
             # sorted path: re-derive u/v after unsorting (2 fewer unsort
             # scatters; the algebra only needs original-order o/d/face)
             derive_uv=not use_sort,
