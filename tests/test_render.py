@@ -264,3 +264,26 @@ def test_pallas_interpret_full_frame_matches_clustered():
     np.testing.assert_array_equal(a[..., 3], b[..., 3])  # equal spp
     close = np.all(np.abs(a - b) <= 1e-5 + 1e-4 * np.abs(a), axis=-1)
     assert close.mean() >= 0.98, f"{(~close).sum()} pixels differ"
+
+
+def test_frame_slabs_bit_identical():
+    """render_frame_slabs (big-frame slab decomposition) must be
+    bit-identical to the single-tile frame — same slab contract as the
+    multi-chip shard (global row0 pixel/RNG indexing, prev snapshots
+    whole), exercised WITH temporal reprojection so the prev-read paths
+    cross slab boundaries."""
+    scene = _mini_scene()
+    imgs = {}
+    for label, kw in (("one", {}), ("slabs", dict(frame_slabs=4))):
+        r = Renderer(
+            scene,
+            RenderSettings(
+                width=32, height=32, environment="procedural",
+                reprojection_rate=3, **kw,
+            ),
+            base_seed=7,
+        )
+        for _ in range(3):
+            r.step()
+        imgs[label] = np.asarray(r.buffers.image)
+    np.testing.assert_array_equal(imgs["one"], imgs["slabs"])

@@ -271,6 +271,14 @@ class RenderSettings:
     # profile (ROADMAP) put kernel rounds at ~80% of a sorted trace leg
     # with rounds serial-latency-bound — this is the round-count lever.
     lockstep_tiles: bool = False
+    # Big-frame slab decomposition (renderer.render_frame_slabs): render
+    # the frame as this many horizontal slabs, one jitted render_tile
+    # call each, so wavefront temporaries scale with the slab. A 4K
+    # frame in one jit needs ~45 GB HBM (measured OOM on the 1M-tri
+    # stress scene); 8 slabs fit. Bit-identical to the single-tile frame
+    # (global row0 pixel indexing — the multi-chip slab contract).
+    # Requires geometry_buffer_scale == 1 when > 1.
+    frame_slabs: int = 1
     # Schedule-fed round loop (ops/cluster_pallas._kernel_sched),
     # closest-hit non-pairs legs only: the per-tile near-ordered cluster
     # schedule is sorted in XLA (one (n_tiles, Cp) row-sort of the same

@@ -326,6 +326,74 @@ def render_frame(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("settings", "tile_height")
+)
+def _render_slab(buffers, tables, env_data, inputs, row0, settings,
+                 tile_height):
+    return render_tile(
+        buffers, tables, env_data, inputs, row0, settings, tile_height
+    )
+
+
+def render_frame_slabs(
+    buffers: FrameBuffers,
+    tables: SceneTables,
+    env_data,
+    inputs: FrameInputs,
+    settings: RenderSettings,
+) -> Tuple[FrameBuffers, jax.Array]:
+    """Big-frame path (``frame_slabs`` > 1): render the frame as
+    ``frame_slabs`` horizontal slabs, one jitted :func:`render_tile`
+    call each (compiled ONCE — ``row0`` is traced), so the wavefront's
+    (rays × state-columns) temporaries scale with the slab, not the
+    frame. A whole 4K frame in one jit wants ~45 GB of HBM (measured:
+    the 1M-tri stress render at 4K OOMs at 44.75/15.75 GB); 8 slabs
+    bring the peak under the 1080p level.
+
+    Same slab contract as the multi-chip shard_map (parallel/shard.py):
+    current-frame rows are sliced per slab, the prev_* snapshots ride
+    whole (reprojection and the quad predictor read arbitrary prev
+    pixels; ``row0`` keeps pixel indices — and so RNG streams — global,
+    making the slab decomposition bit-identical to the single-tile
+    frame)."""
+    n = settings.frame_slabs
+    h = settings.render_height
+    assert h % n == 0, f"frame_slabs={n} must divide render_height={h}"
+    assert settings.geo_height == h, (
+        "frame_slabs requires geometry_buffer_scale == 1 (slab rows must "
+        "align between the image and the G-buffer)"
+    )
+    hs = h // n
+    outs = []
+    rays = jnp.zeros((), jnp.float32)
+    for b in range(n):
+        sl = slice(b * hs, (b + 1) * hs)
+        slab = dataclasses.replace(
+            buffers,
+            image=buffers.image[sl],
+            geo_position=buffers.geo_position[sl],
+            geo_face=buffers.geo_face[sl],
+            geo_object=buffers.geo_object[sl],
+        )
+        out, r = _render_slab(
+            slab, tables, env_data, inputs, jnp.int32(b * hs), settings,
+            hs,
+        )
+        outs.append(out)
+        rays = rays + r
+    merged = dataclasses.replace(
+        buffers,
+        image=jnp.concatenate([o.image for o in outs], axis=0),
+        geo_position=jnp.concatenate(
+            [o.geo_position for o in outs], axis=0
+        ),
+        geo_face=jnp.concatenate([o.geo_face for o in outs], axis=0),
+        geo_object=jnp.concatenate([o.geo_object for o in outs], axis=0),
+    )
+    return merged, rays
+
+
 @functools.partial(jax.jit, static_argnames=("settings",))
 def blit(image: jax.Array, prev_image: jax.Array, settings: RenderSettings):
     """Accumulation buffer → display color (blit fragment shader,
@@ -450,7 +518,12 @@ class Renderer:
             frustum=jnp.asarray(frustum),
             prev_origin=jnp.asarray(self._prev_view[:3, 3]),
         )
-        self.buffers, rays = render_frame(
+        frame_fn = (
+            render_frame_slabs
+            if self.settings.frame_slabs > 1
+            else render_frame
+        )
+        self.buffers, rays = frame_fn(
             self.buffers, self.tables, self.env_data, inputs, self.settings
         )
         self.last_rays = float(rays)
