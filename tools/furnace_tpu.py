@@ -27,9 +27,8 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from webgpu_raytracing_tpu.config import ProjectionType, RenderSettings
-from webgpu_raytracing_tpu.models.test_models import (
-    scene_from_facesets, uv_sphere,
-)
+from webgpu_raytracing_tpu.models.scene import scene_from_facesets
+from webgpu_raytracing_tpu.models.test_models import uv_sphere
 from webgpu_raytracing_tpu.ops.env_sample import build_env_distribution
 from webgpu_raytracing_tpu.renderer import Renderer
 

@@ -246,7 +246,13 @@ class RenderSettings:
     # bounce sets (-27% vs gang=4, 13.9 Mrays/s microbench); widening
     # the ganged fraction to 1/4 is within noise (148.6).
     trace_gang: int = 8
-    trace_gang_frac: int = 8
+    # 0 = gang every tile. r4 frame A/B: with lockstep ON, gang-all
+    # (union-sorted, gang capped to 2 inside the lockstep VMEM budget)
+    # is the best measured arm — 882.6 ms vs 912.9 default / 919.0
+    # heavy-only lockstep (tools/frame_profile.py lock_gangall) — so
+    # frac=0 + lockstep are the r4 defaults. Without lockstep, gang-all
+    # LOSES (1004-1060 ms): keep frac=8 if lockstep_tiles is disabled.
+    trace_gang_frac: int = 0
     # Software-pipelined kernel rounds (ops/cluster_pallas.py): the
     # round loop issues round k+1's cluster matmul (MXU) before applying
     # round k's epilogue (VPU), hoping Mosaic overlaps the two units.
@@ -270,7 +276,10 @@ class RenderSettings:
     # serial rounds per grid step drop from sum to max. The r4 frame
     # profile (ROADMAP) put kernel rounds at ~80% of a sorted trace leg
     # with rounds serial-latency-bound — this is the round-count lever.
-    lockstep_tiles: bool = False
+    # r4 default ON, paired with trace_gang_frac=0 (the measured-best
+    # frame arm, see trace_gang_frac above). Bit-identical per tile
+    # (tests/test_cluster.py test_pallas_lockstep_bit_identical).
+    lockstep_tiles: bool = True
     # Big-frame slab decomposition (renderer.render_frame_slabs): render
     # the frame as this many horizontal slabs, one jitted render_tile
     # call each, so wavefront temporaries scale with the slab. A 4K
