@@ -397,6 +397,104 @@ def test_pallas_lockstep_bit_identical(rng_np):
                 )
 
 
+def test_pallas_multipass_bit_identical(rng_np):
+    """Capped-rounds + recompaction multipass (ops/ray_sort.py
+    sorted_trace_multipass) must be bit-identical to the single-pass
+    sorted trace: the kernel-exported stop key only skips provably
+    processed clusters, extra union candidates from the re-grouping
+    never win (grouping independence), and the pass merge is the packed
+    key min split associatively. Exercised with dead lanes and
+    source-face exclusion codes, across caps and pass counts."""
+    import functools
+
+    from webgpu_raytracing_tpu.ops.cluster_pallas import (
+        trace_closest_clustered_pallas,
+    )
+    from webgpu_raytracing_tpu.ops.ray_sort import (
+        sorted_trace,
+        sorted_trace_multipass,
+    )
+
+    scene = _scene()
+    tables = scene.tables()
+    n = 2000
+    o = rng_np.uniform(-3, 3, (n, 3)).astype(np.float32)
+    d = rng_np.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmax = jnp.full((n,), F32_MAX, jnp.float32)
+    active = jnp.asarray(rng_np.uniform(size=n) > 0.1)
+    n_codes = tables.clusters.n_clusters * tables.clusters.face_id.shape[1]
+    excl = jnp.asarray(
+        rng_np.integers(-1, n_codes, size=n).astype(np.int32)
+    )
+
+    fn = functools.partial(
+        trace_closest_clustered_pallas, interpret=True, tile=128,
+        tiles_per_step=4, exact_pairs=False, gang=2, gang_frac=0,
+        lockstep=True, derive_uv=False,
+    )
+
+    def tf(o_, d_, tm_, tb_, act_, ex_=None):
+        h = fn(o_, d_, tm_, tb_, act_, excl_code=ex_)
+        return h.t, h.face
+
+    t0, f0 = sorted_trace(
+        tf, jnp.asarray(o), jnp.asarray(d), tmax, tables, active,
+        extra=excl,
+    )
+    for cap, passes in ((1, 2), (2, 3), (4, 2)):
+        t1, f1 = sorted_trace_multipass(
+            fn, jnp.asarray(o), jnp.asarray(d), tmax, tables, active,
+            extra=excl, cap=cap, passes=passes,
+        )
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f0))
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
+
+
+def test_pallas_capped_stop_covers_all_changes(rng_np):
+    """The multipass survivor contract: every ray whose capped-pass
+    result differs from the uncapped trace MUST be flagged a survivor
+    (bitcast(t) > stop) — the conservative direction correctness rests
+    on. Run UNSORTED so tile unions are large and the cap genuinely
+    truncates work."""
+    from webgpu_raytracing_tpu.ops.cluster_pallas import (
+        trace_closest_clustered_pallas,
+    )
+
+    scene = _scene()
+    tables = scene.tables()
+    n = 2000
+    o = rng_np.uniform(-3, 3, (n, 3)).astype(np.float32)
+    d = rng_np.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmax = jnp.full((n,), F32_MAX, jnp.float32)
+    kw = dict(
+        interpret=True, tile=128, tiles_per_step=4, exact_pairs=False,
+        gang=2, gang_frac=0, lockstep=True, derive_uv=False,
+    )
+    full = trace_closest_clustered_pallas(
+        jnp.asarray(o), jnp.asarray(d), tmax, tables, None, **kw
+    )
+    import jax
+
+    for cap in (1, 2):
+        hit, stop = trace_closest_clustered_pallas(
+            jnp.asarray(o), jnp.asarray(d), tmax, tables, None,
+            cap=cap, return_stop=True, **kw
+        )
+        surv = np.asarray(
+            jax.lax.bitcast_convert_type(hit.t, jnp.int32)
+        ) > np.asarray(stop)
+        changed = np.asarray(hit.face) != np.asarray(full.face)
+        assert not np.any(changed & ~surv), (
+            f"cap={cap}: {int((changed & ~surv).sum())} changed rays "
+            "not flagged as survivors"
+        )
+        # unchanged-complete rays must dominate: the flag is useful,
+        # not everything-survives
+        assert surv.sum() < n
+
+
 def test_pallas_sched_bit_identical(rng_np):
     """The schedule-fed kernel (_kernel_sched: XLA-sorted per-tile
     cluster schedules in SMEM, J-block rounds, deferred bound) must

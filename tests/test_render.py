@@ -266,6 +266,32 @@ def test_pallas_interpret_full_frame_matches_clustered():
     assert close.mean() >= 0.98, f"{(~close).sum()} pixels differ"
 
 
+def test_multipass_frame_bit_identical():
+    """multipass_cap (capped rounds + recompaction, the r4 work-volume
+    lever) through the FULL frame path — raygen, predictor-bounded
+    primaries, sorted bounce legs with exclusion codes, accumulation —
+    must be bit-identical to the single-pass frame. Both frames drive
+    the production Pallas kernel under the interpreter with the
+    lockstep gang-all defaults the cap requires."""
+    scene = _mini_scene()
+    imgs = {}
+    for label, kw in (("one", {}), ("multi", dict(multipass_cap=2))):
+        r = Renderer(
+            scene,
+            RenderSettings(
+                width=16, height=16, bounces_depth=3, sample_count=1,
+                environment="procedural", traversal="pallas_interpret",
+                trace_tile=128, tiles_per_step=2, exact_pairs=False,
+                trace_gang=2, trace_gang_frac=0, lockstep_tiles=True,
+                **kw,
+            ),
+            base_seed=11,
+        )
+        r.step()
+        imgs[label] = np.asarray(r.buffers.image)
+    np.testing.assert_array_equal(imgs["one"], imgs["multi"])
+
+
 def test_frame_slabs_bit_identical():
     """render_frame_slabs (big-frame slab decomposition) must be
     bit-identical to the single-tile frame — same slab contract as the

@@ -203,6 +203,15 @@ def main():
         "nopred_chained": base.replace(
             use_hit_predictor=False, chained_sort=True
         ),
+        # capped-rounds + recompaction multipass (r4 work-volume lever,
+        # ops/ray_sort.sorted_trace_multipass; CPU-exact study predicts
+        # work/ray 12.0 -> 5.6 at cap=4 — tools/multipass_sim.py).
+        # Bit-identical (tests); arms sweep cap and pass count.
+        "mp2": base.replace(multipass_cap=2),
+        "mp4": base.replace(multipass_cap=4),
+        "mp8": base.replace(multipass_cap=8),
+        "mp4_p3": base.replace(multipass_cap=4, multipass_passes=3),
+        "mp2_p3": base.replace(multipass_cap=2, multipass_passes=3),
     }
     # config #3 arms (BASELINE: equirect env, 1080p, MIS on vs off) —
     # built lazily; the equirect replaces the cubemap env operand

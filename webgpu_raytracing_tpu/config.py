@@ -300,6 +300,20 @@ class RenderSettings:
     # with gates 46 ms and div/mul/select/pack ≈ 0 — ROADMAP r4).
     # 0 disables (the drain-based kernels above).
     trace_sched: int = 0
+    # Capped-rounds + recompaction multipass (ops/ray_sort.py
+    # sorted_trace_multipass): sorted closest-hit legs run at most this
+    # many lockstep rounds per tile, then surviving rays regroup by
+    # their next NEEDED cluster (exact per-ray skip mask from the
+    # kernel's exported stop key) and trace again; the last of
+    # multipass_passes passes is uncapped. Attacks the tile-consensus
+    # waste (work/ray 12.0 vs per-ray need ~1.3 at T=128) that no
+    # round-scheduling scheme could shift — the exact CPU study
+    # (tools/multipass_sim.py) halves epilogue work at cap=4 with
+    # serial-round parity. Bit-identical to single-pass (tests).
+    # 0 disables. Requires lockstep_tiles + trace_gang_frac=0 (the
+    # production defaults); other configs fall back to single-pass.
+    multipass_cap: int = 0
+    multipass_passes: int = 2
     # Sort bounce/shadow rays by nearest hit cluster before tracing
     # (ops/ray_sort.py): collapses tile cluster-unions ~4x on incoherent
     # segments and compacts dead lanes to the back (the wavefront-

@@ -956,7 +956,7 @@ def _kernel_lockstep(
     matb_ref,  # (C, rows_b, 4S) cluster matrices (VMEM)
     out_t_ref,  # (L, 1, T)
     out_code_ref,  # (L, 1, T) int32: winning cid * S + slot (-1 = miss)
-    *,
+    *rest,  # cap > 0: out_stop_ref (L, 1, T) int32 — the exit key
     n_s: int,
     cid_bits: int,
     any_hit: bool = False,
@@ -964,6 +964,7 @@ def _kernel_lockstep(
     excl: bool = False,
     mm_passes: int = 3,
     gang: int = 1,
+    cap: int = 0,
 ):
     """Lockstep tile batching: the L tiles of one grid step run ONE fused
     round loop instead of L serial round loops (``_kernel``'s per-tile
@@ -986,6 +987,16 @@ def _kernel_lockstep(
     frame profile showed kernel rounds = ~80% of a sorted trace leg and
     round cost is serial-latency-bound, so cutting rounds ~L× is the
     direct lever (ROADMAP round-4 profile table).
+
+    ``cap`` > 0 bounds the fused loop at ``cap`` rounds (multipass
+    recompaction pass 1 — ops/ray_sort.py ``sorted_trace_multipass``)
+    and emits ``out_stop_ref``: each tile's minimum REMAINING shortlist
+    key at exit, upper-bit-truncated (an int32 f32-bitcast). Keys are
+    consumed in increasing order, so every key strictly below it was
+    processed — the caller derives the per-ray survivor flag
+    (``bitcast(best_t) > stop``) and the next pass's exact skip mask
+    from it. A naturally-drained tile's stop is >= its prune bound >=
+    every ray's best, so it reports no survivors.
     """
     L, t_dim = a_ref.shape[0], a_ref.shape[1]
     assert t_dim & (t_dim - 1) == 0, "lockstep needs power-of-two tiles"
@@ -1074,15 +1085,19 @@ def _kernel_lockstep(
     code0 = jnp.full((1, rows), -1, jnp.int32)
     bounds0 = tuple(_bound_l(best_key0, code0, l) for l in range(L))
 
+    out_stop_ref = rest[0] if cap > 0 else None
+
     def cond(state):
-        _, k_t, _, _, bnd_t = state
+        _, k_t, _, _, bnd_t = state[:5]
         alive = (k_t[0] & ~mask) < bnd_t[0]
         for l in range(1, L):
             alive = alive | ((k_t[l] & ~mask) < bnd_t[l])
+        if cap > 0:
+            alive = alive & (state[5] < cap)
         return alive
 
     def body(state):
-        keys_t, k_t, best_key, best_code, bnd_t = state
+        keys_t, k_t, best_key, best_code, bnd_t = state[:5]
         keys_n, k_n, acts, outs_l, cid_sets = [], [], [], [], []
         for l in range(L):
             kl, kc, bl = keys_t[l], k_t[l], bnd_t[l]
@@ -1136,11 +1151,16 @@ def _kernel_lockstep(
         nk = jnp.where(act_row, nk, best_key)
         nc = jnp.where(act_row, nc, best_code)
         bounds_n = tuple(_bound_l(nk, nc, l) for l in range(L))
-        return tuple(keys_n), tuple(k_n), nk, nc, bounds_n
+        out = (tuple(keys_n), tuple(k_n), nk, nc, bounds_n)
+        if cap > 0:
+            out = out + (state[5] + 1,)
+        return out
 
-    _, _, best_key, best_code, _ = jax.lax.while_loop(
-        cond, body, (keys0, k0, best_key0, code0, bounds0)
-    )
+    init = (keys0, k0, best_key0, code0, bounds0)
+    if cap > 0:
+        init = init + (jnp.int32(0),)
+    fin = jax.lax.while_loop(cond, body, init)
+    k_fin, best_key, best_code = fin[1], fin[2], fin[3]
     for l in range(L):
         seg = slice(l * t_dim, (l + 1) * t_dim)
         seg_c = best_code[:, seg]
@@ -1152,6 +1172,20 @@ def _kernel_lockstep(
             t_max[seg][None, :],
         )
         out_code_ref[l] = seg_c
+        if cap > 0:
+            # the tile's min remaining key, cid bits cleared: every key
+            # strictly below it was consumed this pass. A remaining key
+            # at/above the miss sentinel's truncation (done_th) is no
+            # genuine cluster — shortlist entries are strictly < t_max
+            # while the sentinel is exactly F32_MAX — so the tile is
+            # drained: report int-max, which no ray's best exceeds.
+            # (A genuine near within one cid-truncation bucket of
+            # F32_MAX would be misread as the sentinel — the same
+            # last-bucket-at-t_max knife edge the packed acceptance
+            # already concedes, and unreachable at scene scale.)
+            sb = k_fin[l] & ~mask
+            sb = jnp.where(sb >= done_th, jnp.int32(0x7FFFFFFF), sb)
+            out_stop_ref[l] = jnp.broadcast_to(sb, (1, t_dim))
 
 
 def _kernel_two_level(
@@ -1347,13 +1381,24 @@ def _kernel_two_level(
         out_amb_ref[0] = _amb_flag(best, sl_mask)
 
 
+def is_two_level(ct) -> bool:
+    """Whether the trace dispatch picks the two-level supercluster
+    kernel: the (C2, 8, G) child-box table must fit the VMEM pin budget
+    (past it, the single-level HBM-streaming path takes over —
+    ct.box always carries all C cluster boxes, pads inverted-empty)."""
+    return (
+        ct.super_box is not None
+        and int(ct.child_box_t.size) * 4 <= 8 * 1024 * 1024
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "tile", "interpret", "any_hit", "derive_uv", "kernel_near",
         "tiles_per_step", "approx_div", "exact_pairs", "raw_pair",
         "gang", "gang_frac", "mm_passes", "pipeline_rounds", "lockstep",
-        "sched_rounds",
+        "sched_rounds", "cap", "return_stop",
     ),
 )
 def trace_closest_clustered_pallas(
@@ -1378,6 +1423,9 @@ def trace_closest_clustered_pallas(
     pipeline_rounds: bool = True,
     lockstep: bool = False,
     sched_rounds: int = 0,
+    cap: int = 0,
+    t_start: jnp.ndarray | None = None,
+    return_stop: bool = False,
 ) -> Hit:
     """Drop-in closest-hit using the Pallas tile kernel. With ``any_hit``
     the per-tile rounds stop as soon as every live ray has found *some*
@@ -1395,26 +1443,39 @@ def trace_closest_clustered_pallas(
     path everywhere except double-knife-edge cases (two wrong candidates
     ahead of the true winner). ``raw_pair`` returns the raw
     ``(t, face1, face2)`` triple (sorted-trace callers adjudicate in
-    original ray order after unsorting)."""
+    original ray order after unsorting).
+
+    Multipass recompaction hooks (ops/ray_sort.py
+    ``sorted_trace_multipass``): ``cap`` bounds the lockstep round loop
+    (capped-pass semantics — requires the lockstep gang-all single-level
+    VMEM path; other configurations run uncapped, reporting an
+    everything-processed stop key). ``t_start`` (R,) f32 masks clusters
+    whose per-ray entry value is below it out of the tile shortlists
+    (provably processed by an earlier pass). ``return_stop`` returns
+    ``(result, stop)`` where stop is the per-ray int32 exit key
+    (f32-bitcast, cid bits cleared): a ray is a pass survivor iff
+    ``bitcast(hit.t) > stop``."""
     ct: ClusterTables = tables.clusters
     r0 = o.shape[0]
     if active is None:
         active = jnp.ones((r0,), bool)
-    # the two-level kernel pins the whole (C2, 8, G) child-box table in
-    # VMEM; past the budget (~4 bytes x 8 x C clusters) fall back to the
-    # single-level HBM-streaming path instead of failing to compile
-    # (ct.box always carries all C cluster boxes, pads inverted-empty)
-    two_level = (
-        ct.super_box is not None
-        and int(ct.child_box_t.size) * 4 <= 8 * 1024 * 1024
-    )
+    two_level = is_two_level(ct)
     step = tile * (1 if two_level else max(1, tiles_per_step))
+    if t_start is not None:
+        # the skip mask's "processed" bound was built from single-level
+        # cluster-box nears; a two-level pass would compare it against
+        # SUPER-box entries — a different quantity
+        assert not two_level, "t_start skip mask needs single-level"
     if r0 % step:
         pad = step - r0 % step
         o = jnp.concatenate([o, jnp.ones((pad, 3), o.dtype)], axis=0)
         d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)], axis=0)
         t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)])
         active = jnp.concatenate([active, jnp.zeros((pad,), bool)])
+        if t_start is not None:
+            t_start = jnp.concatenate(
+                [t_start, jnp.zeros((pad,), t_start.dtype)]
+            )
     r = o.shape[0]
     n_tiles = r // tile
     t_max = jnp.where(active, t_max, 0.0)
@@ -1479,7 +1540,8 @@ def trace_closest_clustered_pallas(
         # tile_nears_fused): bit-identical to the _boxes_near map, ~10%
         # cheaper on chip (no (…, C, 3) stacked temporaries)
         near_tc = tile_nears_fused(
-            o, inv_d, t_max, near_boxes, tile, pad_to=cp
+            o, inv_d, t_max, near_boxes, tile, pad_to=cp,
+            t_start=t_start,
         ).reshape(n_tiles, 1, cp)
 
     pairs = exact_pairs and not any_hit
@@ -1554,13 +1616,14 @@ def trace_closest_clustered_pallas(
             )
             scratch_shapes = []
 
-        def run_single(a_in, near_in, gs, gang_n, lock=False):
+        def run_single(a_in, near_in, gs, gang_n, lock=False, cap_n=0):
             n_t = a_in.shape[0]
             if lock:
                 kernel = functools.partial(
                     _kernel_lockstep, n_s=s, cid_bits=cid_bits,
                     any_hit=any_hit, approx_div=approx_div,
                     excl=use_excl, mm_passes=mm_passes, gang=gang_n,
+                    cap=cap_n,
                 )
             else:
                 kernel = functools.partial(
@@ -1588,19 +1651,16 @@ def trace_closest_clustered_pallas(
                     (gs, 1, cp), lambda i: (i, 0, 0),
                     memory_space=pltpu.VMEM,
                 )
+            n_extra = 3 if pairs else (1 if cap_n > 0 else 0)
             osh = (
                 jax.ShapeDtypeStruct((n_t, 1, tile), jnp.float32),
                 jax.ShapeDtypeStruct((n_t, 1, tile), jnp.int32),
-            ) + (
-                (jax.ShapeDtypeStruct((n_t, 1, tile), jnp.int32),) * 3
-                if pairs
-                else ()
-            )
+            ) + (jax.ShapeDtypeStruct((n_t, 1, tile), jnp.int32),) * n_extra
             return pl.pallas_call(
                 kernel,
                 grid=(n_t // gs,),
                 in_specs=[asp, nsp, matb_spec],
-                out_specs=(rs, rs) + ((rs,) * 3 if pairs else ()),
+                out_specs=(rs, rs) + (rs,) * n_extra,
                 out_shape=osh,
                 scratch_shapes=scratch_shapes,
                 interpret=interpret,
@@ -1634,6 +1694,13 @@ def trace_closest_clustered_pallas(
                 1,
                 min(gang, (4 * 1024 * 1024) // (g_step * tile * 4 * s * 4)),
             )
+        # capped multipass pass 1: only on the lockstep gang-all single
+        # launch (the production default); any other configuration runs
+        # uncapped and reports the everything-processed stop sentinel
+        use_cap = (
+            cap > 0 and lock and gang >= 2 and gang_frac == 0
+            and not any_hit and sched_rounds == 0
+        )
         if (
             sched_rounds > 0 and not pairs and not any_hit and not hbm
             and not in_near
@@ -1703,6 +1770,7 @@ def trace_closest_clustered_pallas(
                     jnp.take(a_mat, order, axis=0),
                     jnp.take(near_tc, order, axis=0),
                     g_step, gang_l, lock=True,
+                    cap_n=cap if use_cap else 0,
                 )
                 outs = tuple(
                     jnp.take(o_, inv_order, axis=0) for o_ in outs
@@ -1749,6 +1817,16 @@ def trace_closest_clustered_pallas(
             -1,
         ).astype(jnp.int32)
 
+    stop = None
+    if return_stop:
+        assert not pairs, "return_stop is a non-pairs hook"
+        if not two_level and use_cap:
+            stop = outs[2].reshape(r)[:r0]
+        else:
+            # uncapped fallback: everything processed, no survivors
+            # (0x7FFFFFFF > bitcast of any finite non-negative f32)
+            stop = jnp.full((r0,), jnp.int32(0x7FFFFFFF))
+
     best_t = best_t.reshape(r)[:r0]
     code = best_code.reshape(r)[:r0]
     face = code_to_face(code)
@@ -1771,9 +1849,11 @@ def trace_closest_clustered_pallas(
         # callers re-derive u/v in original ray order (fewer unsort
         # scatters) — skip the barycentric re-derivation here
         zeros_uv = jnp.zeros_like(best_t)
-        return Hit(t=best_t, u=zeros_uv, v=zeros_uv, face=face)
+        hit = Hit(t=best_t, u=zeros_uv, v=zeros_uv, face=face)
+        return (hit, stop) if return_stop else hit
 
-    return rederive_uv(o[:r0], d[:r0], best_t, face, tables)
+    res = rederive_uv(o[:r0], d[:r0], best_t, face, tables)
+    return (res, stop) if return_stop else res
 
 
 def rederive_uv(

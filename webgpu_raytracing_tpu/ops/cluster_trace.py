@@ -330,6 +330,7 @@ def tile_nears_fused(
     boxes: jnp.ndarray,  # (C, 6)
     tile: int,
     pad_to: int | None = None,
+    t_start: jnp.ndarray | None = None,  # (R,)
 ) -> jnp.ndarray:
     """Per-tile per-cluster min entry distance — the fusion-friendly
     rewrite of the ``lax.map(_boxes_near → min)`` pass. Two structural
@@ -339,14 +340,27 @@ def tile_nears_fused(
     (tile, C) slab results through VMEM instead of materializing ~6
     (R, C) f32 arrays in HBM (measured 34.8 → ~8 ms at 2.07M×384 —
     tools/fused_pass_bench.py). ``pad_to`` pads the cluster axis with
-    +inf (the kernel's lane-padding contract)."""
+    +inf (the kernel's lane-padding contract).
+
+    ``t_start`` is the multipass-recompaction skip mask (ops/ray_sort.py
+    ``sorted_trace_multipass``): a cluster whose per-ray entry value is
+    below the ray's carried pass-stop bound is provably already
+    processed by an earlier capped pass, so it is masked to +inf here
+    — the same elementwise slab arithmetic as the pass that built the
+    bound, so the mask is exact, never heuristic. NaN t_start (a fully
+    drained tile's sentinel) masks everything, matching its ray's
+    dead t_max."""
     r = o.shape[0]
     n_tiles = r // tile
     c = boxes.shape[0]
 
     def chunk_nears(args):
         # one tile; lax.map(batch_size=…) vmaps this over tile batches
-        ot, it, tt = args  # (tile, 3), (tile, 3), (tile,)
+        if t_start is None:
+            ot, it, tt = args  # (tile, 3), (tile, 3), (tile,)
+            ts = None
+        else:
+            ot, it, tt, ts = args
         near = jnp.full((tile, c), -_INF, jnp.float32)
         far = jnp.full((tile, c), _INF, jnp.float32)
         for ax in range(3):
@@ -359,17 +373,21 @@ def tile_nears_fused(
             near = jnp.maximum(near, jnp.minimum(t0, t1))
             far = jnp.minimum(far, jnp.maximum(t0, t1))
         hit = (near < far) & (near < tt[:, None]) & (far > MIN_DIST)
-        return jnp.min(
-            jnp.where(hit, jnp.maximum(near, 0.0), _INF), axis=0
-        )  # (C,)
+        nears = jnp.where(hit, jnp.maximum(near, 0.0), _INF)
+        if ts is not None:
+            nears = jnp.where(nears >= ts[:, None], nears, _INF)
+        return jnp.min(nears, axis=0)  # (C,)
 
+    args = (
+        o.reshape(n_tiles, tile, 3),
+        inv_d.reshape(n_tiles, tile, 3),
+        t_max.reshape(n_tiles, tile),
+    )
+    if t_start is not None:
+        args = args + (t_start.reshape(n_tiles, tile),)
     near_tc = jax.lax.map(
         chunk_nears,
-        (
-            o.reshape(n_tiles, tile, 3),
-            inv_d.reshape(n_tiles, tile, 3),
-            t_max.reshape(n_tiles, tile),
-        ),
+        args,
         batch_size=max(1, min(n_tiles, 16_777_216 // (tile * c))),
     )
     if pad_to is not None and pad_to > c:

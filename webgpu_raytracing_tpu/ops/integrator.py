@@ -135,6 +135,30 @@ def _trace_closest(
                     o, d, tm_eff, tm_eff, (f1, f2, f3), amb, tables
                 )
 
+            # capped-rounds + recompaction multipass (the round-loop
+            # work-volume lever — ops/ray_sort.py sorted_trace_multipass;
+            # bit-identical to the single-pass sorted trace). Gated to
+            # the configs whose kernel path supports the cap (lockstep
+            # gang-all, single-level); elsewhere the plain sorted trace
+            # is the same result with no capped passes.
+            from .cluster_pallas import is_two_level
+            from .ray_sort import sorted_trace_multipass
+
+            if (
+                settings.multipass_cap > 0
+                and settings.lockstep_tiles
+                and settings.trace_gang >= 2
+                and settings.trace_gang_frac == 0
+                and settings.trace_sched == 0
+                and not is_two_level(tables.clusters)
+            ):
+                t, face = sorted_trace_multipass(
+                    fn, o, d, t_max, tables, active, extra=excl,
+                    cap=settings.multipass_cap,
+                    passes=settings.multipass_passes,
+                )
+                return rederive_uv(o, d, t, face, tables)
+
             # unsort only (t, face) — u/v are zeros on the derive_uv=False
             # path, and scattering constants back is wasted HBM traffic
             def tf(o_, d_, tm_, tb_, act_, ex_=None):

@@ -40,18 +40,26 @@ def nearest_cluster_key(
     t_max: jnp.ndarray,  # (R,) 0 for dead lanes
     boxes: jnp.ndarray,  # (C, 6)
     chunk: int = 65536,
+    t_start: jnp.ndarray | None = None,  # (R,)
 ) -> jnp.ndarray:
     """Coherence key: ``cid0 * (C+1) + cid1`` of the ray's two nearest-entry
     hit clusters (cid = C when fewer than 1/2 boxes are hit, sorting dead
     and miss rays to the back). Computed with the same dense slab test the
-    tracer's shortlist pass uses."""
+    tracer's shortlist pass uses. ``t_start`` restricts the key to the
+    ray's still-UNPROCESSED clusters (entry value >= t_start — the
+    multipass recompaction skip mask, see ``sorted_trace_multipass``);
+    the key only orders rays, exactness never depends on it."""
     r = o.shape[0]
     c = boxes.shape[0]
     chunk = min(chunk, max(128, -(-r // 128) * 128))
     inv_d = safe_inv_dir(d)
 
     def per_chunk(args):
-        oc, ic, tc = args
+        if t_start is None:
+            oc, ic, tc = args
+            ts = None
+        else:
+            oc, ic, tc, ts = args
         # per-axis accumulation keeps temporaries 2-D (chunk, C); a
         # (chunk, C, 3) broadcast de-fuses into multi-GB HBM traffic
         near = jnp.full((oc.shape[0], c), -_INF, jnp.float32)
@@ -65,6 +73,8 @@ def nearest_cluster_key(
             far = jnp.minimum(far, jnp.maximum(t0, t1))
         hit = (near < far) & (near < tc[:, None]) & (far > MIN_DIST)
         nears = jnp.where(hit, jnp.maximum(near, 0.0), _INF)
+        if ts is not None:
+            nears = jnp.where(nears >= ts[:, None], nears, _INF)
         iota = jax.lax.broadcasted_iota(jnp.int32, nears.shape, 1)
         # pack (near, cid) into one sortable int32 (cid in the mantissa
         # LSBs — same trick as the kernel's round keys): each "nearest"
@@ -93,15 +103,19 @@ def nearest_cluster_key(
         o = jnp.concatenate([o, jnp.ones((pad, 3), o.dtype)])
         inv_d = jnp.concatenate([inv_d, jnp.ones((pad, 3), o.dtype)])
         t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)])
+        if t_start is not None:
+            t_start = jnp.concatenate(
+                [t_start, jnp.zeros((pad,), t_start.dtype)]
+            )
     n_chunks = (r + pad) // chunk
-    keys = jax.lax.map(
-        per_chunk,
-        (
-            o.reshape(n_chunks, chunk, 3),
-            inv_d.reshape(n_chunks, chunk, 3),
-            t_max.reshape(n_chunks, chunk),
-        ),
-    ).reshape(-1)[:r]
+    args = (
+        o.reshape(n_chunks, chunk, 3),
+        inv_d.reshape(n_chunks, chunk, 3),
+        t_max.reshape(n_chunks, chunk),
+    )
+    if t_start is not None:
+        args = args + (t_start.reshape(n_chunks, chunk),)
+    keys = jax.lax.map(per_chunk, args).reshape(-1)[:r]
     return keys
 
 
@@ -256,6 +270,105 @@ def _from_cols(cols, specs, treedef):
             x = xi
         out.append(x.reshape(shp))
     return jax.tree.unflatten(treedef, out)
+
+
+def sorted_trace_multipass(
+    fn, o, d, t_max, tables, active=None, extra=None, cap=4, passes=2,
+):
+    """Capped-rounds + recompaction sorted trace (closest-hit only).
+
+    Production's round loop spends by TILE CONSENSUS: epilogue work/ray
+    = tile_rounds × 4S (12.0 at T=128 on the bundled scene) while the
+    per-ray need is ~1.3 clusters — a ~9× waste multiplier that no
+    round-scheduling scheme could recover (ROADMAP r4: lockstep flat,
+    small tiles slower, sched-kernel tie). This attacks the waste
+    directly, per the exact CPU study (tools/multipass_sim.py, work/ray
+    12.04 → 5.62 at cap=4 with serial-round parity): pass 1 runs every
+    tile for at most ``cap`` lockstep rounds; surviving rays (their
+    carried best still beatable by an unprocessed cluster — the
+    kernel-exported per-tile stop key decides, see
+    ``trace_closest_clustered_pallas`` ``return_stop``) are re-sorted
+    by their next NEEDED cluster (the same nearest-cluster key, masked
+    to entry values >= the stop bound) and traced again with the exact
+    per-ray ``t_start`` skip mask; the final pass is uncapped.
+
+    Bit-identical to the single-pass sorted trace: the skip mask only
+    removes provably-processed clusters (conservative by the key-order
+    invariant), re-grouping only changes which EXTRA union clusters a
+    ray is tested against, and extra candidates never win (the same
+    grouping-independence invariant the single-pass tile sort relies
+    on); the pass merge is the kernel's own packed-key min, split
+    associatively. ``fn`` must be the Pallas trace partial with
+    ``derive_uv=False``. Returns ``(t, face)`` in ORIGINAL ray order.
+    """
+    r = o.shape[0]
+    if active is not None:
+        t_max = jnp.where(active, t_max, 0.0)
+    boxes = tables.clusters.sort_box
+    have_ex = extra is not None
+    key = nearest_cluster_key(o, d, t_max, boxes)
+    rid = jnp.arange(r, dtype=jnp.int32)
+    cols, specs, td = _to_cols(
+        (o, d, t_max) + ((extra,) if have_ex else ())
+    )
+    s1 = jax.lax.sort(tuple([key, rid] + cols), num_keys=1, is_stable=True)
+    rid_s = s1[1]
+    ins = _from_cols(list(s1[2:]), specs, td)
+    o_s, d_s, tm_s = ins[:3]
+    ex_s = ins[3] if have_ex else None
+    hit, stop = fn(
+        o_s, d_s, tm_s, tables, None, excl_code=ex_s,
+        cap=cap, return_stop=True,
+    )
+    t_cur, f_cur = hit.t, hit.face
+
+    for p in range(1, passes):
+        last = p == passes - 1
+        # survivor iff an unprocessed cluster could still beat the
+        # carried best: int-space compare handles the drained-tile
+        # sentinel without NaN semantics
+        surv = jax.lax.bitcast_convert_type(t_cur, jnp.int32) > stop
+        tm_n = jnp.where(surv, t_cur, 0.0)
+        t_start = jax.lax.bitcast_convert_type(stop, jnp.float32)
+        key_n = nearest_cluster_key(o_s, d_s, tm_n, boxes, t_start=t_start)
+        cols_n, specs_n, td_n = _to_cols(
+            (o_s, d_s, tm_n, t_start, t_cur, f_cur)
+            + ((ex_s,) if have_ex else ())
+        )
+        s_n = jax.lax.sort(
+            tuple([key_n, rid_s] + cols_n), num_keys=1, is_stable=True
+        )
+        rid_s = s_n[1]
+        ins_n = _from_cols(list(s_n[2:]), specs_n, td_n)
+        o_s, d_s, tm_s, ts_s, t_prev, f_prev = ins_n[:6]
+        ex_s = ins_n[6] if have_ex else None
+        if last:
+            hit_n = fn(
+                o_s, d_s, tm_s, tables, None, excl_code=ex_s,
+                t_start=ts_s,
+            )
+        else:
+            hit_n, stop = fn(
+                o_s, d_s, tm_s, tables, None, excl_code=ex_s,
+                t_start=ts_s, cap=cap, return_stop=True,
+            )
+        improved = hit_n.face >= 0
+        t_cur = jnp.where(improved, hit_n.t, t_prev)
+        f_cur = jnp.where(improved, hit_n.face, f_prev)
+
+    unsorted = jax.lax.sort(
+        (
+            rid_s,
+            jax.lax.bitcast_convert_type(t_cur, jnp.int32),
+            f_cur,
+        ),
+        num_keys=1,
+        is_stable=False,
+    )
+    return (
+        jax.lax.bitcast_convert_type(unsorted[1], jnp.float32),
+        unsorted[2],
+    )
 
 
 def sorted_trace(trace_fn, o, d, t_max, tables, active=None, extra=None):
