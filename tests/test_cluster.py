@@ -442,10 +442,16 @@ def test_pallas_multipass_bit_identical(rng_np):
         tf, jnp.asarray(o), jnp.asarray(d), tmax, tables, active,
         extra=excl,
     )
-    for cap, passes in ((1, 2), (2, 3), (4, 2)):
+    # surv_frac sweeps force BOTH lax.cond branches of the compacted
+    # final pass: 2000 (slice >= r: direct), 8 (the production slice —
+    # branch picked by the survivor count), 1000 (slice = 128, almost
+    # certainly overflowed at cap=1 ⇒ full-width fallback)
+    for cap, passes, frac in (
+        (1, 2, 8), (2, 3, 8), (4, 2, 8), (1, 2, 1000), (4, 2, 2000)
+    ):
         t1, f1 = sorted_trace_multipass(
             fn, jnp.asarray(o), jnp.asarray(d), tmax, tables, active,
-            extra=excl, cap=cap, passes=passes,
+            extra=excl, cap=cap, passes=passes, surv_frac=frac,
         )
         np.testing.assert_array_equal(np.asarray(f1), np.asarray(f0))
         np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))

@@ -272,8 +272,105 @@ def _from_cols(cols, specs, treedef):
     return jax.tree.unflatten(treedef, out)
 
 
+def _recompact_final_pass(
+    fn, o_s, d_s, ex_s, t_cur, f_cur, stop, rid_s, tables, boxes,
+    surv_frac,
+):
+    """Uncapped final pass over the pass-1 SURVIVORS only, compacted to a
+    static ``r / surv_frac`` slice.
+
+    The first multipass implementation ran its second pass at full ray
+    width: a full-width nearest-cluster key (O(R·C) slab tests), a
+    full-width sort, a full-width tile-nears pass and a full-width kernel
+    grid — ~150 ms/frame of plumbing that on chip ERASED the capped-pass
+    work saving (mp2 1057 / mp4 1035 vs 881 ms single-pass, r4
+    frame_profile). But survivors are 3–5% of rays (tools/
+    multipass_sim.py), so: one full-width COMPACTION sort moves survivors
+    to the front (stable — pass-1 coherence order is kept inside each
+    class), and the key/sort/near/kernel all run on the static slice.
+    Exactness is preserved by construction: rows past the slice are
+    touched only when ``n_surv <= slice`` holds (the ``lax.cond``
+    predicate), otherwise the FULL-width pass (the proven-correct
+    fallback) runs instead — both branches are compiled, the cheap one
+    executes in practice. Returns ``(t, f, rid)`` in compacted order
+    (the caller's final unsort-by-rid is order-agnostic)."""
+    r = o_s.shape[0]
+    have_ex = ex_s is not None
+    surv = jax.lax.bitcast_convert_type(t_cur, jnp.int32) > stop
+    n_surv = jnp.sum(surv.astype(jnp.int32))
+    t_start = jax.lax.bitcast_convert_type(stop, jnp.float32)
+    cols, specs, td = _to_cols(
+        (o_s, d_s, t_start, t_cur, f_cur, surv)
+        + ((ex_s,) if have_ex else ())
+    )
+    sc = jax.lax.sort(
+        tuple([(~surv).astype(jnp.int32), rid_s] + cols),
+        num_keys=1,
+        is_stable=True,
+    )
+    rid_c = sc[1]
+    ins = _from_cols(list(sc[2:]), specs, td)
+    o_c, d_c, ts_c, t_c, f_c, surv_c = ins[:6]
+    ex_c = ins[6] if have_ex else None
+    w2 = min(r, max(128, -(-r // surv_frac) // 128 * 128))
+
+    def run_slice(width):
+        def go(_):
+            o2, d2, ts2, t2, f2, sv2 = (
+                x[:width] for x in (o_c, d_c, ts_c, t_c, f_c, surv_c)
+            )
+            ex2 = ex_c[:width] if have_ex else None
+            tm2 = jnp.where(sv2, t2, 0.0)
+            key2 = nearest_cluster_key(o2, d2, tm2, boxes, t_start=ts2)
+            lid = jnp.arange(width, dtype=jnp.int32)
+            c2, sp2, td2 = _to_cols(
+                (o2, d2, tm2, ts2, t2, f2) + ((ex2,) if have_ex else ())
+            )
+            s2 = jax.lax.sort(
+                tuple([key2, lid] + c2), num_keys=1, is_stable=True
+            )
+            lid_s = s2[1]
+            ins2 = _from_cols(list(s2[2:]), sp2, td2)
+            o3, d3, tm3, ts3, t3, f3 = ins2[:6]
+            ex3 = ins2[6] if have_ex else None
+            hit = fn(
+                o3, d3, tm3, tables, None, excl_code=ex3, t_start=ts3
+            )
+            imp = hit.face >= 0
+            t_new = jnp.where(imp, hit.t, t3)
+            f_new = jnp.where(imp, hit.face, f3)
+            back = jax.lax.sort(
+                (
+                    lid_s,
+                    jax.lax.bitcast_convert_type(t_new, jnp.int32),
+                    f_new,
+                ),
+                num_keys=1,
+                is_stable=False,
+            )
+            t_out = jnp.concatenate(
+                [
+                    jax.lax.bitcast_convert_type(back[1], jnp.float32),
+                    t_c[width:],
+                ]
+            )
+            f_out = jnp.concatenate([back[2], f_c[width:]])
+            return t_out, f_out
+
+        return go
+
+    if w2 >= r:
+        t_fin, f_fin = run_slice(r)(None)
+    else:
+        t_fin, f_fin = jax.lax.cond(
+            n_surv <= w2, run_slice(w2), run_slice(r), None
+        )
+    return t_fin, f_fin, rid_c
+
+
 def sorted_trace_multipass(
     fn, o, d, t_max, tables, active=None, extra=None, cap=4, passes=2,
+    surv_frac=8,
 ):
     """Capped-rounds + recompaction sorted trace (closest-hit only).
 
@@ -321,6 +418,28 @@ def sorted_trace_multipass(
         cap=cap, return_stop=True,
     )
     t_cur, f_cur = hit.t, hit.face
+
+    if passes == 2:
+        # the production shape: ONE capped pass + ONE survivor-compacted
+        # uncapped pass (full-width second passes measured as a net
+        # frame LOSS — see _recompact_final_pass)
+        t_cur, f_cur, rid_s = _recompact_final_pass(
+            fn, o_s, d_s, ex_s, t_cur, f_cur, stop, rid_s, tables,
+            boxes, surv_frac,
+        )
+        unsorted = jax.lax.sort(
+            (
+                rid_s,
+                jax.lax.bitcast_convert_type(t_cur, jnp.int32),
+                f_cur,
+            ),
+            num_keys=1,
+            is_stable=False,
+        )
+        return (
+            jax.lax.bitcast_convert_type(unsorted[1], jnp.float32),
+            unsorted[2],
+        )
 
     for p in range(1, passes):
         last = p == passes - 1
