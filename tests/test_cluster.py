@@ -442,10 +442,9 @@ def test_pallas_multipass_bit_identical(rng_np):
         tf, jnp.asarray(o), jnp.asarray(d), tmax, tables, active,
         extra=excl,
     )
-    # surv_frac sweeps force BOTH lax.cond branches of the compacted
-    # final pass: 2000 (slice >= r: direct), 8 (the production slice —
-    # branch picked by the survivor count), 1000 (slice = 128, almost
-    # certainly overflowed at cap=1 ⇒ full-width fallback)
+    # surv_frac sweep at r=2000: every frac lands on the lax.cond
+    # (w2 < r), which branch runs is decided by the pass-1 survivor
+    # count — asserted below, not assumed
     for cap, passes, frac in (
         (1, 2, 8), (2, 3, 8), (4, 2, 8), (1, 2, 1000), (4, 2, 2000)
     ):
@@ -455,6 +454,87 @@ def test_pallas_multipass_bit_identical(rng_np):
         )
         np.testing.assert_array_equal(np.asarray(f1), np.asarray(f0))
         np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
+
+    # pin which lax.cond branch each frac actually exercised: replicate
+    # pass 1 (sort by nearest-cluster key + capped kernel) and count
+    # survivors the way _recompact_final_pass does (bitcast(t) > stop)
+    import jax
+
+    from webgpu_raytracing_tpu.ops.ray_sort import nearest_cluster_key
+
+    def n_survivors(cap):
+        tm = jnp.where(active, tmax, 0.0)
+        key = nearest_cluster_key(
+            jnp.asarray(o), jnp.asarray(d), tm, tables.clusters.sort_box
+        )
+        order = jnp.argsort(key, stable=True)
+        hit, stop = fn(
+            jnp.asarray(o)[order], jnp.asarray(d)[order], tm[order],
+            tables, None, excl_code=excl[order], cap=cap,
+            return_stop=True,
+        )
+        return int(jnp.sum(
+            (jax.lax.bitcast_convert_type(hit.t, jnp.int32) > stop)
+            .astype(jnp.int32)
+        ))
+
+    def w2(r, frac):
+        return min(r, max(128, (-(-r // frac) + 127) // 128 * 128))
+
+    assert n_survivors(4) <= w2(n, 8), "frac=8 must take the sized slice"
+
+    # fallback branch: the uniform random set leaves too few pass-1
+    # survivors (measured 127 < the 128 floor slice), so aim every ray
+    # through the dense scene interior from a far shell — each crosses
+    # many clusters and survives cap=1 (measured 236 > 128)
+    rng_f = np.random.default_rng(0)  # pinned: survivor count must stay
+    o_f = rng_f.normal(size=(n, 3))
+    o_f = (o_f / np.linalg.norm(o_f, axis=1, keepdims=True) * 12).astype(
+        np.float32
+    )
+    tgt = rng_f.uniform(-1.5, 1.5, (n, 3)).astype(np.float32)
+    d_f = tgt - o_f
+    d_f = (d_f / np.linalg.norm(d_f, axis=1, keepdims=True)).astype(
+        np.float32
+    )
+    key_f = nearest_cluster_key(
+        jnp.asarray(o_f), jnp.asarray(d_f), tmax, tables.clusters.sort_box
+    )
+    ord_f = jnp.argsort(key_f, stable=True)
+    hit_f, stop_f = fn(
+        jnp.asarray(o_f)[ord_f], jnp.asarray(d_f)[ord_f], tmax[ord_f],
+        tables, None, cap=1, return_stop=True,
+    )
+    n_surv_f = int(jnp.sum(
+        (jax.lax.bitcast_convert_type(hit_f.t, jnp.int32) > stop_f)
+        .astype(jnp.int32)
+    ))
+    assert n_surv_f > w2(n, 1000), (
+        "aimed set must overflow the 128 slice (full-width fallback)"
+    )
+    t0f, f0f = sorted_trace(
+        tf, jnp.asarray(o_f), jnp.asarray(d_f), tmax, tables,
+    )
+    t1f, f1f = sorted_trace_multipass(
+        fn, jnp.asarray(o_f), jnp.asarray(d_f), tmax, tables,
+        cap=1, passes=2, surv_frac=1000,
+    )
+    np.testing.assert_array_equal(np.asarray(f1f), np.asarray(f0f))
+    np.testing.assert_array_equal(np.asarray(t1f), np.asarray(t0f))
+
+    # small-r run (r <= 128 ⇒ w2 == r): the static direct path, no
+    # lax.cond compiled at all
+    m = 128
+    t0s, f0s = sorted_trace(
+        tf, jnp.asarray(o[:m]), jnp.asarray(d[:m]), tmax[:m],
+        tables, active[:m], extra=excl[:m],
+    )
+    t1s, f1s = sorted_trace_multipass(
+        fn, jnp.asarray(o[:m]), jnp.asarray(d[:m]), tmax[:m], tables,
+        active[:m], extra=excl[:m], cap=1, passes=2, surv_frac=8,
+    )
+    np.testing.assert_array_equal(np.asarray(f1s), np.asarray(f0s))
+    np.testing.assert_array_equal(np.asarray(t1s), np.asarray(t0s))
 
 
 def test_pallas_capped_stop_covers_all_changes(rng_np):

@@ -265,8 +265,12 @@ def cmd_config(args):
             "--env-importance"],
         # 4: progressive accumulation to 1024 spp with scripted orbit
         4: ["orbit", "--size", "256x256", "--spp", "1024", "--frames", "4"],
-        # 5: 1M-triangle stress scene, 4K @ 256 spp
-        5: ["render", "--size", "4k", "--spp", "256", "--scene", "stress1m"],
+        # 5: 1M-triangle stress scene, 4K @ 256 spp. frame_slabs=8 is
+        # required at 4K: the whole frame in one jit wants 44.75 GB of
+        # HBM (measured OOM vs the 15.75 GB chip — renderer.py
+        # render_frame_slabs)
+        5: ["render", "--size", "4k", "--spp", "256", "--scene",
+            "stress1m", "--opt", "frame_slabs=8"],
     }
     argv = presets[args.n]
     if args.output:

@@ -312,7 +312,7 @@ def _recompact_final_pass(
     ins = _from_cols(list(sc[2:]), specs, td)
     o_c, d_c, ts_c, t_c, f_c, surv_c = ins[:6]
     ex_c = ins[6] if have_ex else None
-    w2 = min(r, max(128, -(-r // surv_frac) // 128 * 128))
+    w2 = min(r, max(128, (-(-r // surv_frac) + 127) // 128 * 128))
 
     def run_slice(width):
         def go(_):
@@ -397,6 +397,14 @@ def sorted_trace_multipass(
     on); the pass merge is the kernel's own packed-key min, split
     associatively. ``fn`` must be the Pallas trace partial with
     ``derive_uv=False``. Returns ``(t, face)`` in ORIGINAL ray order.
+
+    ``surv_frac`` applies only to ``passes == 2`` (the production
+    shape): its survivor-compacted final pass replaces the full-width
+    one. With ``passes >= 3`` every pass — including the last — runs at
+    full ray width (the on-chip measurement that motivated compaction,
+    mp2_p3 1281 ms vs 879 ms default at 1080p, r5 frame_profile, says
+    don't use that shape for perf; it remains the exactness reference
+    for the associative pass merge).
     """
     r = o.shape[0]
     if active is not None:
