@@ -537,6 +537,83 @@ def test_pallas_multipass_bit_identical(rng_np):
     np.testing.assert_array_equal(np.asarray(t1s), np.asarray(t0s))
 
 
+def test_pallas_binned_trace_bit_identical(rng_np):
+    """The binned trace (ops/ray_sort.binned_trace: pass 1 executes the
+    distinct nearest-cluster ids per 128-ray block, survivors go
+    through the compacted drain pass with the per-ray stop/t_start skip
+    mask) must be bit-identical to the single-pass sorted trace:
+    processing extra clusters is idempotent (packed-key min merge),
+    missing processing is exactly what the stop key accounts for.
+    Exercised with dead lanes, exclusion codes, uniform-random and
+    aimed (multi-cluster-crossing) ray sets, and both surv_frac
+    branches of the survivor pass. fn runs gang<=1 so the drain pass
+    truncates t at the same slot-bit granularity as the binned kernel."""
+    import functools
+
+    import jax
+
+    from webgpu_raytracing_tpu.ops.cluster_pallas import (
+        trace_closest_clustered_pallas,
+    )
+    from webgpu_raytracing_tpu.ops.ray_sort import binned_trace, sorted_trace
+
+    scene = _scene()
+    tables = scene.tables()
+    n = 2000
+    fn = functools.partial(
+        trace_closest_clustered_pallas, interpret=True, tile=128,
+        tiles_per_step=4, exact_pairs=False, gang=0, gang_frac=0,
+        lockstep=True, derive_uv=False,
+    )
+
+    def tf(o_, d_, tm_, tb_, act_, ex_=None):
+        h = fn(o_, d_, tm_, tb_, act_, excl_code=ex_)
+        return h.t, h.face
+
+    # uniform random set with dead lanes + exclusion codes
+    o = rng_np.uniform(-3, 3, (n, 3)).astype(np.float32)
+    d = rng_np.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmax = jnp.full((n,), F32_MAX, jnp.float32)
+    active = jnp.asarray(rng_np.uniform(size=n) > 0.1)
+    n_codes = tables.clusters.n_clusters * tables.clusters.face_id.shape[1]
+    excl = jnp.asarray(
+        rng_np.integers(-1, n_codes, size=n).astype(np.int32)
+    )
+    t0, f0 = sorted_trace(
+        tf, jnp.asarray(o), jnp.asarray(d), tmax, tables, active,
+        extra=excl,
+    )
+    for frac in (4, 1000):
+        t1, f1 = binned_trace(
+            fn, jnp.asarray(o), jnp.asarray(d), tmax, tables, active,
+            extra=excl, surv_frac=frac, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f0))
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
+
+    # aimed set: every ray crosses many clusters (deep survivor cascade)
+    rng_f = np.random.default_rng(0)
+    o_f = rng_f.normal(size=(n, 3))
+    o_f = (o_f / np.linalg.norm(o_f, axis=1, keepdims=True) * 12).astype(
+        np.float32
+    )
+    tgt = rng_f.uniform(-1.5, 1.5, (n, 3)).astype(np.float32)
+    d_f = tgt - o_f
+    d_f = (d_f / np.linalg.norm(d_f, axis=1, keepdims=True)).astype(
+        np.float32
+    )
+    t0f, f0f = sorted_trace(
+        tf, jnp.asarray(o_f), jnp.asarray(d_f), tmax, tables,
+    )
+    t1f, f1f = binned_trace(
+        fn, jnp.asarray(o_f), jnp.asarray(d_f), tmax, tables,
+        surv_frac=4, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(f1f), np.asarray(f0f))
+    np.testing.assert_array_equal(np.asarray(t1f), np.asarray(t0f))
+
+
 def test_pallas_capped_stop_covers_all_changes(rng_np):
     """The multipass survivor contract: every ray whose capped-pass
     result differs from the uncapped trace MUST be flagged a survivor

@@ -292,6 +292,32 @@ def test_multipass_frame_bit_identical():
     np.testing.assert_array_equal(imgs["one"], imgs["multi"])
 
 
+def test_binned_frame_bit_identical():
+    """binned_sort (per-ray binned scheduling, the r5 ceiling-ledger
+    lever) through the FULL frame path — raygen, predictor-bounded
+    primaries, sorted bounce legs with exclusion codes, accumulation —
+    must be bit-identical to the drain-kernel frame. gang=0 in both
+    arms so every packed key truncates t at the same slot-bit
+    granularity (the binned kernel's contract)."""
+    scene = _mini_scene()
+    imgs = {}
+    for label, kw in (("drain", {}), ("binned", dict(binned_sort=True))):
+        r = Renderer(
+            scene,
+            RenderSettings(
+                width=16, height=16, bounces_depth=3, sample_count=1,
+                environment="procedural", traversal="pallas_interpret",
+                trace_tile=128, tiles_per_step=2, exact_pairs=False,
+                trace_gang=0, trace_gang_frac=0, lockstep_tiles=True,
+                **kw,
+            ),
+            base_seed=11,
+        )
+        r.step()
+        imgs[label] = np.asarray(r.buffers.image)
+    np.testing.assert_array_equal(imgs["drain"], imgs["binned"])
+
+
 def test_frame_slabs_bit_identical():
     """render_frame_slabs (big-frame slab decomposition) must be
     bit-identical to the single-tile frame — same slab contract as the

@@ -212,6 +212,15 @@ def main():
         "mp8": base.replace(multipass_cap=8),
         "mp4_p3": base.replace(multipass_cap=4, multipass_passes=3),
         "mp2_p3": base.replace(multipass_cap=2, multipass_passes=3),
+        # binned per-ray scheduling (r5 ceiling-ledger consequence:
+        # pass 1 = each block's distinct nearest-cluster ids, ~1.02
+        # cluster-units/block vs the drain kernels' ~12; survivors run
+        # the compacted drain pass). Bit-identical at gang<=1 (tests).
+        "binned": base.replace(binned_sort=True),
+        # binned + predictor off / chained interactions
+        "binned_nopred": base.replace(
+            binned_sort=True, use_hit_predictor=False
+        ),
     }
     # config #3 arms (BASELINE: equirect env, 1080p, MIS on vs off) —
     # built lazily; the equirect replaces the cubemap env operand

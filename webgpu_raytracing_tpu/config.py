@@ -314,6 +314,18 @@ class RenderSettings:
     # production defaults); other configs fall back to single-pass.
     multipass_cap: int = 0
     multipass_passes: int = 2
+    # Binned per-ray scheduling for sorted closest-hit legs
+    # (ops/ray_sort.binned_trace + cluster_pallas.trace_binned_pass):
+    # pass 1 executes exactly the distinct NEAREST-cluster ids of each
+    # 128-ray block of the cid1-major-sorted stream (~1.02
+    # cluster-units/block vs the drain kernels' ~12 — the r5 ceiling
+    # ledger's 9x tile-consensus waste), with no tile-near pass and no
+    # drain machinery; survivors (per-ray exact test: second-nearest
+    # entry could beat the carried best) run the compacted drain pass
+    # with the multipass t_start skip mask. Bit-identical to the
+    # single-pass sorted trace at gang<=1 (tests). Closest-hit bounce
+    # segments only; pairs/exact segments keep the drain path.
+    binned_sort: bool = False
     # Sort bounce/shadow rays by nearest hit cluster before tracing
     # (ops/ray_sort.py): collapses tile cluster-unions ~4x on incoherent
     # segments and compacts dead lanes to the back (the wavefront-

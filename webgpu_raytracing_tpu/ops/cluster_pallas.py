@@ -950,6 +950,194 @@ def _kernel_sched(
         out_code_ref[g] = best_code
 
 
+def _kernel_binned(
+    a_ref,  # (P, T, 16) consecutive cid1-major-sorted ray blocks
+    sched_ref,  # (P, 1, 2) i32 SMEM: per-block [s0, s1] cluster ids
+    matb_ref,  # (C, rows_b, 4S) cluster matrices (VMEM)
+    out_t_ref,  # (P, 1, T)
+    out_code_ref,  # (P, 1, T) i32: winning cid * S + slot (-1 = miss)
+    *,
+    n_s: int,
+    approx_div: bool = False,
+    excl: bool = False,
+    mm_passes: int = 3,
+):
+    """Binned pass kernel — the round-5 work-volume attack (ROADMAP
+    "kernel ceiling ledger"). The drain kernels spend by TILE CONSENSUS:
+    ~12 cluster-units per 128-ray tile against a measured per-ray need
+    of 1.34, and every scheduling scheme lands on the same
+    MXU-depth-limited ~0.45-0.76 us/unit wall (the bilinear form
+    contracts over K=16 of the 128-deep MXU; r4/r5 measurements). This
+    kernel instead executes exactly the DISTINCT nearest-cluster ids
+    inside each block of the cid1-major-sorted ray stream — ~1.02
+    units/block (segment boundaries are rare at 263 segments over ~16k
+    blocks) — with no shortlist drain, no while loop, and no per-round
+    scalar extraction. Rays whose nearest cluster did not make the
+    block's 2 schedule slots, and rays whose second-nearest cluster
+    could still beat their pass-1 best, are SURVIVORS handled by the
+    caller (ops/ray_sort.binned_trace: survivor-compacted drain pass
+    with the multipass t_start skip mask — the proven-exact fallback).
+
+    Exactness of extra/missing processing: the matmul evaluates faces
+    regardless of boxes, any valid hit it finds is a true hit, and the
+    packed-key min merge is idempotent — so processing extra clusters
+    is always safe, and unprocessed clusters are exactly what the
+    survivor condition accounts for. Schedule entries are -1 to skip
+    (dead/pad blocks, single-segment blocks); outputs default to miss.
+
+    The carried best rides the OUTPUT refs between the two rounds
+    (pl.when bodies cannot return state): ``out_t`` stores exactly
+    ``key & ~sl_mask`` bitcast to f32 and ``out_code``'s low slot bits
+    equal the key's stolen LSBs (n_s is a power of two), so the packed
+    key reconstructs losslessly."""
+    assert n_s & (n_s - 1) == 0, "slot-bit key roundtrip needs 2^k slots"
+    p_bits = max(1, (n_s - 1).bit_length())
+    sl_mask = (1 << p_bits) - 1
+    for p in range(a_ref.shape[0]):
+        a = a_ref[p]  # (T, 16)
+        excl_f = a[:, 14:15] if excl else None
+        t_dim = a.shape[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+        a_sp = _a_split(jnp.where(col < 10, a, 0.0), mm_passes)
+        t_max = a[:, 13]
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (t_dim, n_s), 1)
+
+        out_t_ref[p] = t_max[None, :]
+        out_code_ref[p] = jnp.full((1, t_dim), -1, jnp.int32)
+
+        def _round(s, p=p, a_sp=a_sp, t_max=t_max, excl_f=excl_f,
+                   iota_s=iota_s, t_dim=t_dim):
+            # carried best from the output refs (lossless roundtrip)
+            t_cur = out_t_ref[p]
+            code_cur = out_code_ref[p]
+            key_cur = (
+                jax.lax.bitcast_convert_type(t_cur, jnp.int32) & ~sl_mask
+            ) | jnp.where(code_cur >= 0, code_cur & sl_mask, 0)
+            b = matb_ref[s]
+            out = _mm(a_sp, b, mm_passes)
+            best = _round_pick(
+                [out], [None], [s], (key_cur, code_cur),
+                n_s=n_s, iota_gs=iota_s, sl_mask=sl_mask, p_bits=p_bits,
+                approx_div=approx_div, excl_f=excl_f,
+            )
+            out_t_ref[p] = jnp.where(
+                best[1] >= 0,
+                jax.lax.bitcast_convert_type(
+                    best[0] & ~sl_mask, jnp.float32
+                ),
+                t_max[None, :],
+            )
+            out_code_ref[p] = best[1]
+
+        s0 = sched_ref[p, 0, 0]
+        s1 = sched_ref[p, 0, 1]
+
+        @pl.when(s0 >= 0)
+        def _():
+            _round(s0)
+
+        @pl.when(s1 >= 0)
+        def _():
+            _round(s1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "interpret", "blocks_per_step", "mm_passes", "approx_div", "tile",
+    ),
+)
+def trace_binned_pass(
+    o: jnp.ndarray,  # (R, 3) — ALREADY cid1-major sorted, R % (tile*P)=0
+    d: jnp.ndarray,
+    t_max: jnp.ndarray,  # (R,) 0 for dead/pad lanes
+    tables,
+    sched: jnp.ndarray,  # (R // tile, 2) i32 block schedules (-1 skip)
+    excl_code: jnp.ndarray | None = None,
+    *,
+    interpret: bool = False,
+    blocks_per_step: int = 8,
+    mm_passes: int = 3,
+    approx_div: bool = False,
+    tile: int = 128,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Dispatch for :func:`_kernel_binned` (see its docstring): one
+    binned pass over a pre-sorted, pre-padded ray stream. Returns
+    ``(t, face)`` in the GIVEN (sorted) order; t is packed-key
+    truncated exactly like the drain kernels'. Single-level VMEM
+    tables only (the bundled-scene case the binned path targets)."""
+    ct: ClusterTables = tables.clusters
+    r = o.shape[0]
+    n_blocks = r // tile
+    assert r % (tile * blocks_per_step) == 0
+    assert sched.shape == (n_blocks, 2)
+    s = ct.face_id.shape[1]
+    if mm_passes == 2 and ct.mat_b2 is None:
+        mm_passes = 3
+    if mm_passes == 2:
+        matb = ct.mat_b2
+    else:
+        matb = ct.mat_b
+        if matb.shape[1] != 16:
+            matb = jnp.pad(matb, ((0, 0), (0, 16 - matb.shape[1]), (0, 0)))
+    b_rows = matb.shape[1]
+
+    w = jnp.cross(o, d)
+    ones = jnp.ones((r, 1), jnp.float32)
+    inv_d = safe_inv_dir(d)
+    use_excl = excl_code is not None
+    if use_excl:
+        ex = (excl_code.astype(jnp.int32) + 1).astype(jnp.float32)
+        pad_cols = jnp.stack([ex, jnp.zeros((r,), jnp.float32)], axis=-1)
+    else:
+        pad_cols = jnp.zeros((r, 2), jnp.float32)
+    a_mat = jnp.concatenate(
+        [o, w, d, ones, inv_d, t_max[:, None], pad_cols], axis=-1
+    ).reshape(n_blocks, tile, 16)
+
+    p_fold = blocks_per_step
+    kernel = functools.partial(
+        _kernel_binned, n_s=s, approx_div=approx_div, excl=use_excl,
+        mm_passes=mm_passes,
+    )
+    rs = pl.BlockSpec(
+        (p_fold, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks // p_fold,),
+        in_specs=[
+            pl.BlockSpec(
+                (p_fold, tile, 16), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (p_fold, 1, 2), lambda i: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (matb.shape[0], b_rows, 4 * s),
+                lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(rs, rs),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_blocks, 1, tile), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, 1, tile), jnp.int32),
+        ),
+        interpret=interpret,
+    )(a_mat, sched.reshape(n_blocks, 1, 2), matb)
+    best_t = outs[0].reshape(r)
+    code = outs[1].reshape(r)
+    face = jnp.where(
+        code >= 0,
+        jnp.take(ct.face_id.reshape(-1), jnp.maximum(code, 0)),
+        -1,
+    ).astype(jnp.int32)
+    return best_t, face
+
+
 def _kernel_lockstep(
     a_ref,  # (L, T, 16) ray blocks: [o, w, d, 1, inv_d, t_max, excl, pad]
     near_ref,  # (L, 1, Cp) per-tile cluster entry distances (XLA)

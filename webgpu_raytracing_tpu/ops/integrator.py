@@ -135,13 +135,44 @@ def _trace_closest(
                     o, d, tm_eff, tm_eff, (f1, f2, f3), amb, tables
                 )
 
+            # binned per-ray scheduling (see RenderSettings.binned_sort
+            # and the ROADMAP r5 ceiling ledger): pass 1 runs each
+            # block's distinct nearest-cluster ids, survivors run the
+            # compacted drain pass. The drain fn is rebuilt with
+            # gang<=1 so its packed keys truncate t at the binned
+            # kernel's slot-bit granularity (bit-identity contract).
+            from .cluster_pallas import is_two_level
+
+            if settings.binned_sort and not is_two_level(tables.clusters):
+                from .ray_sort import binned_trace
+
+                fn_surv = functools.partial(
+                    trace_closest_clustered_pallas,
+                    interpret=backend == "pallas_interpret",
+                    tile=settings.trace_tile,
+                    tiles_per_step=settings.tiles_per_step,
+                    approx_div=settings.approx_div,
+                    exact_pairs=False,
+                    gang=0,
+                    gang_frac=0,
+                    mm_passes=settings.mm_passes,
+                    pipeline_rounds=settings.pipeline_rounds,
+                    lockstep=settings.lockstep_tiles,
+                    derive_uv=False,
+                )
+                t, face = binned_trace(
+                    fn_surv, o, d, t_max, tables, active, extra=excl,
+                    interpret=backend == "pallas_interpret",
+                    mm_passes=settings.mm_passes,
+                )
+                return rederive_uv(o, d, t, face, tables)
+
             # capped-rounds + recompaction multipass (the round-loop
             # work-volume lever — ops/ray_sort.py sorted_trace_multipass;
             # bit-identical to the single-pass sorted trace). Gated to
             # the configs whose kernel path supports the cap (lockstep
             # gang-all, single-level); elsewhere the plain sorted trace
             # is the same result with no capped passes.
-            from .cluster_pallas import is_two_level
             from .ray_sort import sorted_trace_multipass
 
             if (

@@ -180,6 +180,213 @@ def nearest_cluster_key_fused(
     return cid_of(k1) * (c + 1) + cid_of(k2)
 
 
+def nearest_cluster_keys2(
+    o: jnp.ndarray,  # (R, 3)
+    d: jnp.ndarray,
+    t_max: jnp.ndarray,  # (R,) 0 for dead lanes
+    boxes: jnp.ndarray,  # (C, 6)
+    chunk: int = 65536,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Raw top-2 packed ``(near | cid)`` keys per ray — the binned
+    trace's scheduling primitive (:func:`binned_trace`). Unlike
+    :func:`nearest_cluster_key` (which combines the two cids into one
+    coherence ordinal), this returns both packed keys so the caller can
+    decode cid1 (the pass-1 bin), near2 (the exact pass-1 survivor
+    bound: an unprocessed cluster can only beat the carried best if its
+    entry distance does) and cid2. Same dense slab test, chunked the
+    same way; top-2 via the one-pass variadic reduce
+    (:func:`_top2_reduce`)."""
+    import numpy as _np
+
+    r = o.shape[0]
+    c = boxes.shape[0]
+    chunk = min(chunk, max(128, -(-r // 128) * 128))
+    inv_d = safe_inv_dir(d)
+    cbits = max(1, (c - 1).bit_length())
+    kmask = (1 << cbits) - 1
+
+    def per_chunk(args):
+        oc, ic, tc = args
+        near = jnp.full((oc.shape[0], c), -_INF, jnp.float32)
+        far = jnp.full((oc.shape[0], c), _INF, jnp.float32)
+        for ax in range(3):
+            t0 = (boxes[None, :, ax] - oc[:, ax : ax + 1]) * ic[:, ax : ax + 1]
+            t1 = (
+                boxes[None, :, 3 + ax] - oc[:, ax : ax + 1]
+            ) * ic[:, ax : ax + 1]
+            near = jnp.maximum(near, jnp.minimum(t0, t1))
+            far = jnp.minimum(far, jnp.maximum(t0, t1))
+        hit = (near < far) & (near < tc[:, None]) & (far > MIN_DIST)
+        nears = jnp.where(hit, jnp.maximum(near, 0.0), _INF)
+        iota = jax.lax.broadcasted_iota(jnp.int32, nears.shape, 1)
+        pk = (
+            jax.lax.bitcast_convert_type(nears, jnp.int32) & ~kmask
+        ) | iota
+        k1, k2 = _top2_reduce(pk)
+        return k1, k2
+
+    pad = (-r) % chunk
+    if pad:
+        o = jnp.concatenate([o, jnp.ones((pad, 3), o.dtype)])
+        inv_d = jnp.concatenate([inv_d, jnp.ones((pad, 3), o.dtype)])
+        t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)])
+    n_chunks = (r + pad) // chunk
+    k1, k2 = jax.lax.map(
+        per_chunk,
+        (
+            o.reshape(n_chunks, chunk, 3),
+            inv_d.reshape(n_chunks, chunk, 3),
+            t_max.reshape(n_chunks, chunk),
+        ),
+    )
+    return k1.reshape(-1)[:r], k2.reshape(-1)[:r]
+
+
+def binned_trace(
+    fn, o, d, t_max, tables, active=None, extra=None, surv_frac=4,
+    tile=128, blocks_per_step=8, interpret=False, mm_passes=3,
+):
+    """Per-ray-scheduled sorted trace (closest-hit): the round-5
+    work-volume attack (ROADMAP "kernel ceiling ledger").
+
+    The drain kernels pay ~12 cluster-units per 128-ray tile against a
+    measured per-ray need of 1.34, at a scheduling-invariant
+    MXU-depth-limited unit cost. Here pass 1 executes exactly each
+    ray's NEAREST cluster: rays sort cid1-major (one stable
+    payload-carrying ``lax.sort``, the same plumbing cost as
+    :func:`sorted_trace`), every 128-ray block runs the ≤ 2 distinct
+    cluster ids it spans (:func:`~.cluster_pallas.trace_binned_pass` —
+    ~1.02 units/block; no tile-near pass, the top-2 key pass subsumes
+    it), and SURVIVORS go through the proven survivor-compacted drain
+    pass (:func:`_recompact_final_pass`) with the multipass ``t_start``
+    skip mask.
+
+    The survivor condition is exact and per-ray: with ``flag`` = "my
+    cid1 made my block's schedule" (cid_sorted <= the block's second
+    distinct id — blocks are ascending runs), a ray needs more work iff
+
+    * ``flag`` and ``trunc(near2) <= (bitcast(t_best) | sl_mask)`` —
+      the second-nearest entered cluster could still beat the carried
+      best (``| sl_mask`` restores the packed key's truncated LSBs to
+      an upper bound, the drain kernels' own prune-bound rounding); or
+    * ``not flag`` (rare: a block spanning 3+ segments) — nothing is
+      proven processed, the ray survives unconditionally with
+      ``t_start = 0`` (exact: no cluster is skipped).
+
+    ``stop`` encodes both as the multipass per-ray stop key (survivor
+    iff ``bitcast(t) > stop``; ``t_start = f32(stop)``): ``flag`` rays
+    get ``max(trunc(near2) - 1, 0)`` (skips exactly the strictly-nearer
+    = processed cid1; clamp keeps f32(stop) a number), others 0, dead
+    rays INT32_MAX. Extra processing is always safe (the matmul finds
+    only true hits; the merge is an idempotent packed-key min), missing
+    processing is exactly what ``stop`` accounts for — hence
+    bit-identity with :func:`sorted_trace` (tested).
+
+    ``fn`` must be the drain-kernel partial with ``derive_uv=False``
+    (single-level VMEM tables). Returns ``(t, face)`` in ORIGINAL ray
+    order."""
+    import numpy as _np
+
+    r0 = o.shape[0]
+    if active is not None:
+        t_max = jnp.where(active, t_max, 0.0)
+    boxes = tables.clusters.sort_box
+    c = boxes.shape[0]
+    cbits = max(1, (c - 1).bit_length())
+    kmask = (1 << cbits) - 1
+    miss_th = int(_np.float32(_INF).view(_np.int32)) & ~kmask
+    n_s = tables.clusters.face_id.shape[1]
+    sl_mask = (1 << max(1, (n_s - 1).bit_length())) - 1
+
+    # pad to a whole number of kernel grid steps BEFORE the sort: pad
+    # rays are dead (t_max = 0, cid1 = c) and sort to the back
+    step = tile * blocks_per_step
+    pad = (-r0) % step
+    if pad:
+        o = jnp.concatenate([o, jnp.ones((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)])
+        if extra is not None:
+            extra = jnp.concatenate(
+                [extra, jnp.full((pad,), -1, jnp.int32)]
+            )
+    r = o.shape[0]
+
+    k1, k2 = nearest_cluster_keys2(o, d, t_max, boxes)
+    cid1 = jnp.where((k1 & ~kmask) < miss_th, k1 & kmask, c)
+    rid = jnp.arange(r, dtype=jnp.int32)
+    have_ex = extra is not None
+    cols, specs, td = _to_cols(
+        (o, d, t_max, k2) + ((extra,) if have_ex else ())
+    )
+    s1 = jax.lax.sort(
+        tuple([cid1, rid] + cols), num_keys=1, is_stable=True
+    )
+    cid_s, rid_s = s1[0], s1[1]
+    ins = _from_cols(list(s1[2:]), specs, td)
+    o_s, d_s, tm_s, k2_s = ins[:4]
+    ex_s = ins[4] if have_ex else None
+
+    # block schedules: blocks are ascending runs, so the distinct ids
+    # are the first element and the min of the strictly-greater rest
+    n_blocks = r // tile
+    vals = cid_s.reshape(n_blocks, tile)
+    s0r = vals[:, 0]
+    s1r = jnp.min(
+        jnp.where(vals > s0r[:, None], vals, jnp.int32(0x7FFFFFFF)),
+        axis=1,
+    )
+    flag = (vals <= s1r[:, None]).reshape(r)
+    sched = jnp.stack(
+        [
+            jnp.where(s0r < c, s0r, -1),
+            jnp.where(s1r < c, s1r, -1),
+        ],
+        axis=-1,
+    )
+
+    from .cluster_pallas import trace_binned_pass
+
+    t1, f1 = trace_binned_pass(
+        o_s, d_s, tm_s, tables, sched, excl_code=ex_s,
+        interpret=interpret, blocks_per_step=blocks_per_step,
+        mm_passes=mm_passes, tile=tile,
+    )
+
+    # per-ray stop key (see docstring); dead rays can never survive.
+    # near2 is truncated by kmask AND sl_mask: the survivor test
+    # "bitcast(t) > stop" must fire whenever (t | sl_mask) >= near2,
+    # and with the slot bits cleared on both sides that reduces to the
+    # plain int compare (clearing only kmask is NOT enough when the
+    # scene has fewer cid bits than slot bits — small test scenes)
+    nmask = kmask | sl_mask
+    k2n = k2_s & ~nmask
+    live = tm_s > 0.0
+    stop = jnp.where(
+        live,
+        jnp.where(flag, jnp.maximum(k2n - 1, 0), 0),
+        jnp.int32(0x7FFFFFFF),
+    )
+
+    t_fin, f_fin, rid_c = _recompact_final_pass(
+        fn, o_s, d_s, ex_s, t1, f1, stop, rid_s, tables, boxes,
+        surv_frac,
+    )
+    unsorted = jax.lax.sort(
+        (
+            rid_c,
+            jax.lax.bitcast_convert_type(t_fin, jnp.int32),
+            f_fin,
+        ),
+        num_keys=1,
+        is_stable=False,
+    )
+    return (
+        jax.lax.bitcast_convert_type(unsorted[1], jnp.float32)[:r0],
+        unsorted[2][:r0],
+    )
+
+
 def _pack_cols(tree):
     """Flatten a pytree of (R,)/(R, k) 4-byte-dtype arrays into one
     (R, L) int32 matrix (bitcast; bool widens to i32). Per-lane HBM
