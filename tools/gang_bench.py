@@ -154,6 +154,90 @@ def main():
 
         return run
 
+    def binned(mm=2, sf=4, bps=8):
+        from webgpu_raytracing_tpu.ops.ray_sort import binned_trace
+
+        fn_surv = functools.partial(
+            trace_closest_clustered_pallas, tile=128, tiles_per_step=8,
+            exact_pairs=False, gang=0, gang_frac=0, lockstep=True,
+            mm_passes=mm, derive_uv=False,
+        )
+
+        @jax.jit
+        def run(o, d, tm):
+            t, face = binned_trace(
+                fn_surv, o, d, tm, tables, surv_frac=sf,
+                blocks_per_step=bps, mm_passes=mm,
+            )
+            return rederive_uv(o, d, t, face, tables)
+
+        return run
+
+    def sorted_lock(gang, mm=2):
+        kw = dict(
+            tile=128, tiles_per_step=8, exact_pairs=False, gang=gang,
+            gang_frac=0, lockstep=True, mm_passes=mm,
+        )
+
+        @jax.jit
+        def run(o, d, tm):
+            def tf(o_, d_, tm_, tb_, act_):
+                h = trace_closest_clustered_pallas(
+                    o_, d_, tm_, tb_, act_, derive_uv=False, **kw
+                )
+                return h.t, h.face
+
+            t, face = sorted_trace(tf, o, d, tm, tables, None)
+            return rederive_uv(o, d, t, face, tables)
+
+        return run
+
+    def anyhit(lockstep):
+        @jax.jit
+        def run(o, d, tm):
+            def tf(o_, d_, tm_, tb_, act_):
+                h = trace_closest_clustered_pallas(
+                    o_, d_, tm_, tb_, act_, tile=128, tiles_per_step=8,
+                    any_hit=True, mm_passes=2, lockstep=lockstep,
+                )
+                return h.t, h.face
+
+            t, face = sorted_trace(tf, o, d, tm, tables, None)
+            return rederive_uv(o, d, t, face, tables)
+
+        return run
+
+    # env-NEE shadow-ray sets (VERDICT r4 #4): origins = primary hit
+    # points, directions = a sun direction + per-ray cone jitter,
+    # t_max = F32_MAX (the environment has no distance — the unbounded
+    # any-hit case), dead lanes where the primary missed. The sun comes
+    # through the OPEN right side, so the set mixes fast blocked rays
+    # (walls) with full-line-walk visible rays — config #3's real mix.
+    no0, nd0, btm0 = bounce_sets[0]
+    sun = jnp.asarray([0.8, 0.55, 0.25], jnp.float32)
+    sun = sun / jnp.linalg.norm(sun)
+    env_sets, light_sets = [], []
+    st_env = rng.seed_state(
+        jnp.broadcast_to(jnp.uint32(7), (R,)), jnp.arange(R, jnp.int32)
+    )
+    for _ in range(2):
+        t2, st_env = rng.random_2(st_env)
+        jit3 = rng.sample_cosine_weighted_hemisphere(t2, sun)
+        ed = sun[None, :] * 0.95 + jit3 * 0.05
+        ed = ed / jnp.linalg.norm(ed, axis=-1, keepdims=True)
+        env_sets.append((no0, ed, btm0))
+        # light-NEE contrast: same origins toward the ceiling light
+        # (model 0 sits near the ceiling center), t_max = distance
+        lt = jnp.asarray([0.0, 1.95, 0.0], jnp.float32) - no0
+        dist = jnp.linalg.norm(lt, axis=-1, keepdims=True)
+        light_sets.append(
+            (
+                no0,
+                lt / jnp.maximum(dist, 1e-6),
+                jnp.where(btm0 > 0, dist[:, 0], 0.0),
+            )
+        )
+
     cases = {
         # r3 production defaults (nopairs, gang=4): folded vs 3-pass matmul
         "bounce_nopairs_g4_mm3": lambda: timed(
@@ -235,6 +319,36 @@ def main():
         "bounce_sched4_t256": lambda: timed(
             sorted_pairs(0, 8, False, mm=2, sched=4, tile=256, tps=4),
             bounce_sets, "bounce_sched4_t256",
+        ),
+        # r5 binned per-ray scheduling vs the production drain leg
+        # (ROADMAP ceiling ledger: 1.02 vs ~12 cluster-units per block)
+        "bounce_binned_mm2": lambda: timed(
+            binned(mm=2), bounce_sets, "bounce_binned_mm2",
+        ),
+        "bounce_binned_sf8": lambda: timed(
+            binned(mm=2, sf=8), bounce_sets, "bounce_binned_sf8",
+        ),
+        "bounce_binned_p16": lambda: timed(
+            binned(mm=2, bps=16), bounce_sets, "bounce_binned_p16",
+        ),
+        # production incumbent at the r4 defaults (lockstep gang-all)
+        "bounce_lockg2_mm2": lambda: timed(
+            sorted_lock(2, mm=2), bounce_sets, "bounce_lockg2_mm2",
+        ),
+        # VERDICT r4 #4: the env-NEE any-hit legs (unbounded t_max,
+        # mostly-miss) — cost vs the closest-hit leg on the SAME rays
+        "anyhit_env": lambda: timed(
+            anyhit(False), env_sets, "anyhit_env",
+        ),
+        "anyhit_env_lock": lambda: timed(
+            anyhit(True), env_sets, "anyhit_env_lock",
+        ),
+        "closest_env": lambda: timed(
+            sorted_pairs(0, 8, False, mm=2), env_sets, "closest_env",
+        ),
+        # the light-NEE shadow legs for contrast (bounded t_max)
+        "anyhit_light": lambda: timed(
+            anyhit(False), light_sets, "anyhit_light",
         ),
     }
     only = sys.argv[1:]

@@ -104,6 +104,14 @@ class RenderSettings:
     # "no data" (face -1 / position 0) for the predictor and
     # reprojection, exactly the robust-access result.
     geometry_buffer_scale: float = 1.0
+    # BVH build knobs (store.ts:82-85, defaults 16/2). STORE PARITY
+    # ONLY: the reference code consuming them is commented out
+    # (bv.ts:121-129) — its build always splits to <= 2-face leaves
+    # regardless, and so does models/bvh.py. Carried so a store.ts user
+    # finds every field; changing them changes nothing, exactly like
+    # the reference.
+    bvh_max_depth: int = 16
+    bvh_leaf_soft_max_size: int = 2
 
     @property
     def render_width(self) -> int:

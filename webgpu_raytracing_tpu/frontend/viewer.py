@@ -64,7 +64,8 @@ setInterval(async () => {
   const s = await (await fetch('/stats.json')).json();
   document.getElementById('hud').textContent =
     `frame ${s.counter}  spp ${s.spp.toFixed(0)}  ` +
-    `${s.frame_ms.toFixed(0)} ms/frame  ${s.mrays.toFixed(2)} Mrays/s  ` +
+    `${s.smoothed_ms.toFixed(0)} ms/frame (raw ${s.frame_ms.toFixed(0)})  ` +
+    `${s.smoothed_mrays.toFixed(2)} Mrays/s  ` +
     `${s.width}x${s.height}`;
 }, 500);
 function post(o){ fetch('/input', {method:'POST', body: JSON.stringify(o)}); }
@@ -364,6 +365,12 @@ def serve(
 
     frames = 0
     prev = time.perf_counter()
+    # HUD timings are smoothed exactly like the reference's
+    # useSmoothedValue hook (utils.ts:37-48, displayed UI.tsx:26-42);
+    # FrameMetrics carries the same 0.9-weight exponential average
+    from ..utils.timing import FrameMetrics
+
+    metrics = FrameMetrics()
     try:
         while max_frames is None or frames < max_frames:
             now = time.perf_counter()
@@ -388,11 +395,16 @@ def serve(
                 shared.settings_spec = _settings_spec(
                     renderer.settings, controls
                 )
+                row = metrics.record(frame_s, renderer.last_rays, spp)
                 shared.stats = {
                     "counter": renderer.counter,
                     "spp": spp,
                     "frame_ms": frame_s * 1e3,
+                    "smoothed_ms": row["smoothed_ms"],
                     "mrays": renderer.last_rays / max(frame_s, 1e-9) / 1e6,
+                    "smoothed_mrays": renderer.last_rays
+                    / max(row["smoothed_ms"] / 1e3, 1e-9)
+                    / 1e6,
                     "width": s.width,
                     "height": s.height,
                 }

@@ -564,19 +564,33 @@ class Renderer:
 
     # --- checkpoint / resume of the progressive accumulation state ---
     def save_checkpoint(self, path: str) -> None:
+        """Atomic: a 4K stress checkpoint is ~0.5 GB and takes tens of
+        seconds to serialize on a 1-vCPU host — an interrupt landing
+        inside the write must never destroy the previous good
+        checkpoint (measured failure mode: a mid-save SIGTERM left a
+        truncated npz and the resume died with BadZipFile). Write to a
+        sibling temp file, fsync, then os.replace."""
+        import os
+
         arrays = {
             f.name: np.asarray(getattr(self.buffers, f.name))
             for f in dataclasses.fields(FrameBuffers)
         }
-        np.savez(
-            path,
-            counter=self.counter,
-            frame_counter=self.frame_counter,
-            cam_position=self.camera.position,
-            cam_orientation=self.camera.orientation,
-            prev_view=self._prev_view,
-            **arrays,
-        )
+        final = path if path.endswith(".npz") else path + ".npz"
+        tmp = final + ".tmp"
+        with open(tmp, "wb") as fh:
+            np.savez(
+                fh,
+                counter=self.counter,
+                frame_counter=self.frame_counter,
+                cam_position=self.camera.position,
+                cam_orientation=self.camera.orientation,
+                prev_view=self._prev_view,
+                **arrays,
+            )
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, final)
 
     def load_checkpoint(self, path: str) -> None:
         z = np.load(path)
