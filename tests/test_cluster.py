@@ -614,6 +614,63 @@ def test_pallas_binned_trace_bit_identical(rng_np):
     np.testing.assert_array_equal(np.asarray(t1f), np.asarray(t0f))
 
 
+def test_pallas_binned_any_blocked_set(rng_np):
+    """binned_trace_any must produce EXACTLY the blocked set of the
+    single-pass sorted any-hit trace: occluded-ness is an existence
+    predicate, so any processing order proves the same thing; the
+    survivor condition (no hit AND an unprocessed entered cluster)
+    plus the t_start skip mask account for everything pass 1 did not
+    test. Bounded (light-NEE-style) and unbounded (env-NEE-style)
+    t_max, dead lanes, exclusion codes, both surv_frac branches."""
+    import functools
+
+    from webgpu_raytracing_tpu.ops.cluster_pallas import (
+        trace_closest_clustered_pallas,
+    )
+    from webgpu_raytracing_tpu.ops.ray_sort import (
+        binned_trace_any,
+        sorted_trace,
+    )
+
+    scene = _scene()
+    tables = scene.tables()
+    n = 2000
+    fn = functools.partial(
+        trace_closest_clustered_pallas, interpret=True, tile=128,
+        tiles_per_step=4, any_hit=True, exact_pairs=False,
+        lockstep=True, derive_uv=False,
+    )
+
+    def tf(o_, d_, tm_, tb_, act_, ex_=None):
+        h = fn(o_, d_, tm_, tb_, act_, excl_code=ex_)
+        return (h.face >= 0,)
+
+    o = rng_np.uniform(-3, 3, (n, 3)).astype(np.float32)
+    d = rng_np.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    active = jnp.asarray(rng_np.uniform(size=n) > 0.1)
+    n_codes = tables.clusters.n_clusters * tables.clusters.face_id.shape[1]
+    excl = jnp.asarray(
+        rng_np.integers(-1, n_codes, size=n).astype(np.int32)
+    )
+    for tmax in (
+        jnp.full((n,), F32_MAX, jnp.float32),  # env-NEE: unbounded
+        jnp.asarray(
+            rng_np.uniform(0.5, 6.0, n).astype(np.float32)
+        ),  # light-NEE: bounded shadow distance
+    ):
+        (b0,) = sorted_trace(
+            tf, jnp.asarray(o), jnp.asarray(d), tmax, tables, active,
+            extra=excl,
+        )
+        for frac in (4, 1000):
+            b1 = binned_trace_any(
+                fn, jnp.asarray(o), jnp.asarray(d), tmax, tables,
+                active, extra=excl, surv_frac=frac, interpret=True,
+            )
+            np.testing.assert_array_equal(np.asarray(b1), np.asarray(b0))
+
+
 def test_pallas_capped_stop_covers_all_changes(rng_np):
     """The multipass survivor contract: every ray whose capped-pass
     result differs from the uncapped trace MUST be flagged a survivor

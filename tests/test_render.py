@@ -300,22 +300,24 @@ def test_binned_frame_bit_identical():
     arms so every packed key truncates t at the same slot-bit
     granularity (the binned kernel's contract)."""
     scene = _mini_scene()
-    imgs = {}
-    for label, kw in (("drain", {}), ("binned", dict(binned_sort=True))):
-        r = Renderer(
-            scene,
-            RenderSettings(
-                width=16, height=16, bounces_depth=3, sample_count=1,
-                environment="procedural", traversal="pallas_interpret",
-                trace_tile=128, tiles_per_step=2, exact_pairs=False,
-                trace_gang=0, trace_gang_frac=0, lockstep_tiles=True,
-                **kw,
-            ),
-            base_seed=11,
-        )
-        r.step()
-        imgs[label] = np.asarray(r.buffers.image)
-    np.testing.assert_array_equal(imgs["drain"], imgs["binned"])
+    for nee in (False, True):  # True adds light-NEE shadow legs →
+        imgs = {}  # exercises binned_trace_any (_trace_any hook)
+        for label, kw in (("drain", {}), ("binned", dict(binned_sort=True))):
+            r = Renderer(
+                scene,
+                RenderSettings(
+                    width=16, height=16, bounces_depth=3, sample_count=1,
+                    environment="procedural", traversal="pallas_interpret",
+                    trace_tile=128, tiles_per_step=2, exact_pairs=False,
+                    trace_gang=0, trace_gang_frac=0, lockstep_tiles=True,
+                    next_event_estimation=nee,
+                    **kw,
+                ),
+                base_seed=11,
+            )
+            r.step()
+            imgs[label] = np.asarray(r.buffers.image)
+        np.testing.assert_array_equal(imgs["drain"], imgs["binned"])
 
 
 def test_frame_slabs_bit_identical():

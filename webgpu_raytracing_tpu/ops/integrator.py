@@ -237,6 +237,35 @@ def _trace_any(
     if sort and settings.sort_bounce_rays:
         from .ray_sort import sorted_trace
 
+        if backend in ("pallas", "pallas_interpret"):
+            from .cluster_pallas import is_two_level
+
+            if settings.binned_sort and not is_two_level(tables.clusters):
+                # binned any-hit (see RenderSettings.binned_sort):
+                # pass 1 tests each ray's nearest cluster (any valid
+                # hit ends it), survivors run the compacted any-hit
+                # drain pass with the t_start skip mask. Exactly the
+                # single-pass blocked set (tests).
+                from .cluster_pallas import trace_closest_clustered_pallas
+                from .ray_sort import binned_trace_any
+
+                fn_any = functools.partial(
+                    trace_closest_clustered_pallas,
+                    interpret=backend == "pallas_interpret",
+                    tile=settings.trace_tile,
+                    tiles_per_step=settings.tiles_per_step,
+                    any_hit=True,
+                    mm_passes=settings.mm_passes,
+                    pipeline_rounds=settings.pipeline_rounds,
+                    lockstep=settings.lockstep_tiles,
+                    derive_uv=False,
+                )
+                return binned_trace_any(
+                    fn_any, o, d, t_max, tables, active, extra=excl,
+                    interpret=backend == "pallas_interpret",
+                    mm_passes=settings.mm_passes,
+                )
+
         return sorted_trace(fn, o, d, t_max, tables, active, extra=excl)
     if backend in ("pallas", "pallas_interpret"):
         return fn(o, d, t_max, tables, active, excl)
@@ -380,7 +409,14 @@ def direct_light(
     excl: jnp.ndarray | None = None,
 ):
     """pointColor (render.ts:1143-1157): one-or-more light samples with
-    shadow rays; emission × cosine / r² × (1/pdf)."""
+    shadow rays; emission × cosine / r² × (1/pdf).
+
+    NaN shading points (the reference's inverted offsetRay select —
+    see :func:`offset_ray` — produces NaN origins on exact-zero
+    components) propagate through d_sq/cosine into the contribution and
+    poison the pixel, exactly as the reference's pointColor would
+    (WGSL max/divide propagate NaN the same way); ~1e-3 of NEE-shaded
+    pixels on this scene. Deliberate parity, not a bug."""
     r = point.shape[0]
     color = jnp.zeros((r, 3), jnp.float32)
     for _ in range(settings.samples_per_point):

@@ -242,6 +242,169 @@ def nearest_cluster_keys2(
     return k1.reshape(-1)[:r], k2.reshape(-1)[:r]
 
 
+def _block_schedules(cid_s, n_blocks, tile, c):
+    """Per-block (s0, s1) distinct cluster ids (-1 = skip) + the per-ray
+    "my cid made the schedule" flag. s0 = the block's min cid, s1 = the
+    min of the strictly-greater rest, so ``cid <= s1`` is exactly
+    ``cid in {s0, s1}`` (no value sits between them) — correct for both
+    sorted runs and arbitrary block contents."""
+    vals = cid_s.reshape(n_blocks, tile)
+    s0r = jnp.min(vals, axis=1)
+    s1r = jnp.min(
+        jnp.where(vals > s0r[:, None], vals, jnp.int32(0x7FFFFFFF)),
+        axis=1,
+    )
+    flag = (vals <= s1r[:, None]).reshape(-1)
+    sched = jnp.stack(
+        [
+            jnp.where(s0r < c, s0r, -1),
+            jnp.where(s1r < c, s1r, -1),
+        ],
+        axis=-1,
+    )
+    return sched, flag
+
+
+def binned_trace_any(
+    fn, o, d, t_max, tables, active=None, extra=None, surv_frac=4,
+    tile=128, blocks_per_step=8, interpret=False, mm_passes=3,
+):
+    """Any-hit :func:`binned_trace` (shadow-ray semantics): returns the
+    (R,) bool blocked mask in ORIGINAL ray order.
+
+    Shadow legs — light-NEE (bounded t_max) and especially env-NEE
+    (UNBOUNDED t_max: the environment has no distance, so proving
+    visibility walks the ray's whole cluster line; the measured 2.8x
+    config-#3 wall, VERDICT r4 #5/ROADMAP) — are mostly-miss traces
+    where the drain kernel's tile consensus pays the full union per
+    tile. Pass 1 tests each ray's nearest cluster only (any valid hit
+    ends the ray: occluded-ness is existence, any processing order
+    proves the same predicate); survivors — no hit yet AND a second
+    entered cluster exists (``k2`` non-miss), or an unscheduled cid1 —
+    run the any-hit drain kernel compacted to a static ``r/surv_frac``
+    slice with the ``t_start`` skip mask (skips only the strictly-nearer
+    processed cid1), full-width ``lax.cond`` fallback guarding the
+    slice overflow. Exactly the blocked set of the single-pass sorted
+    any-hit trace (tested)."""
+    r0 = o.shape[0]
+    if active is not None:
+        t_max = jnp.where(active, t_max, 0.0)
+    boxes = tables.clusters.sort_box
+    c = boxes.shape[0]
+    cbits = max(1, (c - 1).bit_length())
+    kmask = (1 << cbits) - 1
+    import numpy as _np
+
+    miss_th = int(_np.float32(_INF).view(_np.int32)) & ~kmask
+
+    step = tile * blocks_per_step
+    pad = (-r0) % step
+    if pad:
+        o = jnp.concatenate([o, jnp.ones((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)])
+        if extra is not None:
+            extra = jnp.concatenate(
+                [extra, jnp.full((pad,), -1, jnp.int32)]
+            )
+    r = o.shape[0]
+
+    k1, k2 = nearest_cluster_keys2(o, d, t_max, boxes)
+    cid1 = jnp.where((k1 & ~kmask) < miss_th, k1 & kmask, c)
+    rid = jnp.arange(r, dtype=jnp.int32)
+    have_ex = extra is not None
+    cols, specs, td = _to_cols(
+        (o, d, t_max, k1, k2) + ((extra,) if have_ex else ())
+    )
+    s1 = jax.lax.sort(
+        tuple([cid1, rid] + cols), num_keys=1, is_stable=True
+    )
+    cid_s, rid_s = s1[0], s1[1]
+    ins = _from_cols(list(s1[2:]), specs, td)
+    o_s, d_s, tm_s, k1_s, k2_s = ins[:5]
+    ex_s = ins[5] if have_ex else None
+
+    n_blocks = r // tile
+    sched, flag = _block_schedules(cid_s, n_blocks, tile, c)
+
+    from .cluster_pallas import trace_binned_pass
+
+    _, f1 = trace_binned_pass(
+        o_s, d_s, tm_s, tables, sched, excl_code=ex_s,
+        interpret=interpret, blocks_per_step=blocks_per_step,
+        mm_passes=mm_passes, tile=tile,
+    )
+    hit1 = f1 >= 0
+
+    live = tm_s > 0.0
+    entered1 = (k1_s & ~kmask) < miss_th
+    entered2 = (k2_s & ~kmask) < miss_th
+    surv = (
+        live
+        & ~hit1
+        & jnp.where(flag, entered2, entered1)
+    )
+    # skip mask for pass 2: flag rays have processed exactly their cid1
+    # (strictly nearer than near2 — the same truncated-down bound as
+    # binned_trace); unflagged rays skip nothing
+    nmask = kmask  # any-hit pass 2 keys carry no slot bits to honor
+    ts2 = jnp.where(
+        flag & entered2,
+        jax.lax.bitcast_convert_type(k2_s & ~nmask, jnp.float32),
+        0.0,
+    )
+
+    # survivor-compacted any-hit pass (the _recompact_final_pass shape,
+    # specialized to the found/not-found merge)
+    n_surv = jnp.sum(surv.astype(jnp.int32))
+    c2, sp2, td2 = _to_cols(
+        (o_s, d_s, tm_s, ts2) + ((ex_s,) if have_ex else ())
+    )
+    sc = jax.lax.sort(
+        tuple(
+            [(~surv).astype(jnp.int32), rid_s, hit1.astype(jnp.int32)]
+            + c2
+        ),
+        num_keys=1,
+        is_stable=True,
+    )
+    rid_c, hit_c = sc[1], sc[2] != 0
+    ins2 = _from_cols(list(sc[3:]), sp2, td2)
+    o_c, d_c, tm_c, ts_c = ins2[:4]
+    ex_c = ins2[4] if have_ex else None
+    w2 = min(r, max(step, (-(-r // surv_frac) + step - 1) // step * step))
+
+    def run_slice(width):
+        def go(_):
+            o3, d3, tm3, ts3 = (
+                x[:width] for x in (o_c, d_c, tm_c, ts_c)
+            )
+            ex3 = ex_c[:width] if have_ex else None
+            # non-survivor rows inside the slice are inert (tm = 0)
+            alive = jnp.arange(width) < n_surv
+            tm3 = jnp.where(alive, tm3, 0.0)
+            h = fn(
+                o3, d3, tm3, tables, None, excl_code=ex3, t_start=ts3
+            )
+            found = h.face >= 0
+            return jnp.concatenate(
+                [hit_c[:width] | found, hit_c[width:]]
+            )
+
+        return go
+
+    if w2 >= r:
+        blocked_c = run_slice(r)(None)
+    else:
+        blocked_c = jax.lax.cond(
+            n_surv <= w2, run_slice(w2), run_slice(r), None
+        )
+    unsorted = jax.lax.sort(
+        (rid_c, blocked_c.astype(jnp.int32)), num_keys=1, is_stable=False
+    )
+    return (unsorted[1] != 0)[:r0]
+
+
 def binned_trace(
     fn, o, d, t_max, tables, active=None, extra=None, surv_frac=4,
     tile=128, blocks_per_step=8, interpret=False, mm_passes=3,
@@ -327,23 +490,8 @@ def binned_trace(
     o_s, d_s, tm_s, k2_s = ins[:4]
     ex_s = ins[4] if have_ex else None
 
-    # block schedules: blocks are ascending runs, so the distinct ids
-    # are the first element and the min of the strictly-greater rest
     n_blocks = r // tile
-    vals = cid_s.reshape(n_blocks, tile)
-    s0r = vals[:, 0]
-    s1r = jnp.min(
-        jnp.where(vals > s0r[:, None], vals, jnp.int32(0x7FFFFFFF)),
-        axis=1,
-    )
-    flag = (vals <= s1r[:, None]).reshape(r)
-    sched = jnp.stack(
-        [
-            jnp.where(s0r < c, s0r, -1),
-            jnp.where(s1r < c, s1r, -1),
-        ],
-        axis=-1,
-    )
+    sched, flag = _block_schedules(cid_s, n_blocks, tile, c)
 
     from .cluster_pallas import trace_binned_pass
 
