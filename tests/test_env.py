@@ -89,6 +89,32 @@ def test_env_is_furnace_equivalence():
 
 
 @pytest.mark.slow
+def test_env_nee_depth_limit_unbiased():
+    """env_nee_depth (config #3 perf knob): limiting env-NEE to the
+    first vertex must leave the furnace estimator unbiased — deeper
+    vertices fall back to BSDF sampling with MIS weight 1 (the
+    prev_bsdf_pdf sentinel), each vertex's strategy mix independent."""
+    img = np.ones((64, 128, 3), np.float32)
+    dist = build_env_distribution(img)
+    scene = _furnace_scene()
+    st = RenderSettings(
+        width=24, height=24, bounces_depth=8, sample_count=3,
+        environment="equirect", env_importance_sampling=True,
+        env_nee_depth=1,
+        projection_type=ProjectionType.PERSPECTIVE, fov=0.6,
+        use_hit_predictor=False,
+    )
+    r = Renderer(scene, st, env_data=dist, base_seed=11)
+    for _ in range(20):
+        r.step()
+    buf = np.asarray(r.buffers.image)
+    raw = buf[..., :3] / np.maximum(buf[..., 3:], 1)
+    gf = np.asarray(r.buffers.geo_face)
+    mean = raw[gf >= 0].mean()
+    assert abs(mean - 0.5) < 0.035, mean
+
+
+@pytest.mark.slow
 def test_env_is_finds_sun_energy():
     """A tiny bright sun: at low spp, BSDF sampling essentially never
     hits the sun texel while the importance sampler lands on it almost

@@ -229,6 +229,24 @@ def main():
         "envis": base.replace(
             environment="equirect", env_importance_sampling=True
         ),
+        # env-NEE depth limit (RenderSettings.env_nee_depth) and the
+        # binned any-hit shadow legs — the two config-#3 levers (r5)
+        "envis_d1": base.replace(
+            environment="equirect", env_importance_sampling=True,
+            env_nee_depth=1,
+        ),
+        "envis_d2": base.replace(
+            environment="equirect", env_importance_sampling=True,
+            env_nee_depth=2,
+        ),
+        "envis_binned": base.replace(
+            environment="equirect", env_importance_sampling=True,
+            binned_sort=True,
+        ),
+        "envis_d1_binned": base.replace(
+            environment="equirect", env_importance_sampling=True,
+            env_nee_depth=1, binned_sort=True,
+        ),
     }
     only = sys.argv[1:]
     for name, s in cases.items():

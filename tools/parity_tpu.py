@@ -34,12 +34,15 @@ from test_reference_parity import synthetic_equirect
 def main():
     gsize = int(os.environ.get("GOLDEN_SIZE", 48))
     backend = os.environ.get("PARITY_BACKEND", "pallas")
+    # GOLDEN_SUFFIX=_16spp selects the extended 8-frame golden
+    # (tools/extend_golden.py) — the VERDICT r4 #5 convergence row
+    suffix = os.environ.get("GOLDEN_SUFFIX", "")
     golden = np.load(
         os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "tests",
             "golden",
-            f"wgsl_reference_{gsize}x{gsize}.npz",
+            f"wgsl_reference_{gsize}x{gsize}{suffix}.npz",
         )
     )
     g_img = golden["image"]

@@ -334,6 +334,15 @@ class RenderSettings:
     # single-pass sorted trace at gang<=1 (tests). Closest-hit bounce
     # segments only; pairs/exact segments keep the drain path.
     binned_sort: bool = False
+    # Env-NEE depth limit (config #3, ops/integrator.py): 0 = every path
+    # vertex next-event-samples the environment (the full-MIS default);
+    # K > 0 = only the first K vertices do, deeper vertices keep BSDF
+    # sampling with MIS weight 1 (unbiased — each vertex's strategy mix
+    # is independent). Each env-NEE vertex costs one UNBOUNDED any-hit
+    # leg (the environment has no shadow distance), the measured 2.8x
+    # config-#3 frame cost (ROADMAP r4); the variance reduction it buys
+    # concentrates at the first vertices where throughput is largest.
+    env_nee_depth: int = 0
     # Sort bounce/shadow rays by nearest hit cluster before tracing
     # (ops/ray_sort.py): collapses tile cluster-unions ~4x on incoherent
     # segments and compacts dead lanes to the back (the wavefront-

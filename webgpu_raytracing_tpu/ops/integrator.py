@@ -601,7 +601,17 @@ def path_trace(
                 settings.samples_per_point
             )
 
-        if env_is:
+        # env-NEE depth limit (RenderSettings.env_nee_depth): vertices
+        # past the limit keep BSDF sampling as their ONLY env strategy,
+        # so their escaping directions must carry MIS weight 1 — the
+        # prev_bsdf_pdf sentinel below. Unbiased at any depth; the
+        # variance reduction env-NEE buys concentrates at the first
+        # vertices (throughput is largest there), while each env-NEE
+        # vertex costs an UNBOUNDED any-hit leg (the config-#3 wall).
+        run_env = env_is and (
+            settings.env_nee_depth == 0 or seg < settings.env_nee_depth
+        )
+        if run_env:
             # environment next-event estimation at this vertex
             ed, erad, epdf, s_env = sample_env(dist, state)
             state = rng.masked_advance(state, s_env, h)
@@ -632,7 +642,14 @@ def path_trace(
         state = rng.masked_advance(state, s2, h)
         new_d = rng.sample_cosine_weighted_hemisphere(t2, n)
         if env_is:
-            prev_bsdf_pdf = jnp.where(h, bsdf_pdf(new_d, n), prev_bsdf_pdf)
+            # -1 sentinel ⇒ the deferred env fetch applies weight 1
+            # (no env-NEE competed at this vertex)
+            pv = (
+                bsdf_pdf(new_d, n)
+                if run_env
+                else jnp.full((r,), -1.0, jnp.float32)
+            )
+            prev_bsdf_pdf = jnp.where(h, pv, prev_bsdf_pdf)
 
         # russian roulette (render.ts:1201-1208)
         p = jnp.max(throughput, axis=-1)
