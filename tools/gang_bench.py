@@ -24,6 +24,9 @@ os.environ.setdefault(
 )
 
 import jax
+
+if os.environ.get("PROF_CPU"):  # smoke-test mode (the tunnel ignores
+    jax.config.update("jax_platforms", "cpu")  # JAX_PLATFORMS — CLAUDE.md)
 import jax.numpy as jnp
 
 jax.config.update(
@@ -42,9 +45,11 @@ from webgpu_raytracing_tpu.ops.cluster_pallas import (
 from webgpu_raytracing_tpu.ops.raygen import camera_rays
 from webgpu_raytracing_tpu.ops.ray_sort import sorted_trace
 
-W, H = 1920, 1080
+INTERP = bool(os.environ.get("PROF_CPU"))  # new-arm smoke only
+W = int(os.environ.get("PROF_W", 1920))
+H = int(os.environ.get("PROF_H", 1080))
 R = W * H
-REPS = 4
+REPS = int(os.environ.get("PROF_REPS", 4))
 
 
 def make_rays(tables, settings):
@@ -61,7 +66,7 @@ def make_rays(tables, settings):
     o, d, state = camera_rays(pos, view, state, settings)
     tmax = jnp.full((R,), F32_MAX, jnp.float32)
     hit = trace_closest_clustered_pallas(
-        o, d, tmax, tables, tile=128, exact_pairs=False
+        o, d, tmax, tables, tile=128, exact_pairs=False, interpret=INTERP
     )
     found = hit.face >= 0
     no = o + d * jnp.where(found, hit.t, 1.0)[:, None]
@@ -114,7 +119,7 @@ def main():
         kw = dict(
             tile=tile, tiles_per_step=tps, approx_div=approx_div,
             exact_pairs=exact_pairs, gang=gang, gang_frac=gang_frac,
-            mm_passes=mm, sched_rounds=sched,
+            mm_passes=mm, sched_rounds=sched, interpret=INTERP,
         )
 
         @jax.jit
@@ -160,14 +165,14 @@ def main():
         fn_surv = functools.partial(
             trace_closest_clustered_pallas, tile=128, tiles_per_step=8,
             exact_pairs=False, gang=0, gang_frac=0, lockstep=True,
-            mm_passes=mm, derive_uv=False,
+            mm_passes=mm, derive_uv=False, interpret=INTERP,
         )
 
         @jax.jit
         def run(o, d, tm):
             t, face = binned_trace(
                 fn_surv, o, d, tm, tables, surv_frac=sf,
-                blocks_per_step=bps, mm_passes=mm,
+                blocks_per_step=bps, mm_passes=mm, interpret=INTERP,
             )
             return rederive_uv(o, d, t, face, tables)
 
@@ -183,7 +188,7 @@ def main():
         def run(o, d, tm):
             def tf(o_, d_, tm_, tb_, act_):
                 h = trace_closest_clustered_pallas(
-                    o_, d_, tm_, tb_, act_, derive_uv=False, **kw
+                    o_, d_, tm_, tb_, act_, derive_uv=False, interpret=INTERP, **kw
                 )
                 return h.t, h.face
 
@@ -199,11 +204,37 @@ def main():
                 h = trace_closest_clustered_pallas(
                     o_, d_, tm_, tb_, act_, tile=128, tiles_per_step=8,
                     any_hit=True, mm_passes=2, lockstep=lockstep,
+                    interpret=INTERP,
                 )
                 return h.t, h.face
 
             t, face = sorted_trace(tf, o, d, tm, tables, None)
             return rederive_uv(o, d, t, face, tables)
+
+        return run
+
+    def anyhit_binned(sf=4):
+        from webgpu_raytracing_tpu.ops.ray_sort import binned_trace_any
+        from webgpu_raytracing_tpu.ops.traverse import Hit
+
+        fn_any = functools.partial(
+            trace_closest_clustered_pallas, tile=128, tiles_per_step=8,
+            any_hit=True, mm_passes=2, lockstep=True, derive_uv=False,
+            interpret=INTERP,
+        )
+
+        @jax.jit
+        def run(o, d, tm):
+            blocked = binned_trace_any(
+                fn_any, o, d, tm, tables, surv_frac=sf, mm_passes=2,
+                interpret=INTERP,
+            )
+            # timed() sums h.t — make the blocked mask the payload
+            z = jnp.zeros((R,), jnp.float32)
+            return Hit(
+                t=blocked.astype(jnp.float32), u=z, v=z,
+                face=blocked.astype(jnp.int32),
+            )
 
         return run
 
@@ -218,7 +249,8 @@ def main():
     sun = sun / jnp.linalg.norm(sun)
     env_sets, light_sets = [], []
     st_env = rng.seed_state(
-        jnp.broadcast_to(jnp.uint32(7), (R,)), jnp.arange(R, jnp.int32)
+        jnp.broadcast_to(jnp.uint32(7), (R,)),
+        jnp.arange(R, dtype=jnp.int32),
     )
     for _ in range(2):
         t2, st_env = rng.random_2(st_env)
@@ -349,6 +381,14 @@ def main():
         # the light-NEE shadow legs for contrast (bounded t_max)
         "anyhit_light": lambda: timed(
             anyhit(False), light_sets, "anyhit_light",
+        ),
+        # binned any-hit (r5): pass 1 = nearest cluster only, survivors
+        # drain with the t_start skip
+        "anyhit_env_binned": lambda: timed(
+            anyhit_binned(), env_sets, "anyhit_env_binned",
+        ),
+        "anyhit_light_binned": lambda: timed(
+            anyhit_binned(), light_sets, "anyhit_light_binned",
         ),
     }
     only = sys.argv[1:]
