@@ -217,6 +217,10 @@ def main():
         # cluster-units/block vs the drain kernels' ~12; survivors run
         # the compacted drain pass). Bit-identical at gang<=1 (tests).
         "binned": base.replace(binned_sort=True),
+        # binned any-hit shadow legs now DEFAULT ON (config.py
+        # binned_any_sort; r5 gang_bench: env legs -31%, light -22%)
+        # — this arm isolates the frame-level delta by turning it off
+        "nobinany": base.replace(binned_any_sort=False),
         # binned + predictor off / chained interactions
         "binned_nopred": base.replace(
             binned_sort=True, use_hit_predictor=False

@@ -238,6 +238,112 @@ def main():
 
         return run
 
+    def binned_stage(stage, mm=2, sf=4, bps=8):
+        """Cumulative piece timing of the binned closest-hit leg: the
+        r5 leg measured ~255 ms vs the drain leg's ~230 with ~1/12 the
+        kernel work, so the cost moved into plumbing — attribute it.
+        Stages replicate ops/ray_sort.binned_trace's phases verbatim
+        (each stage executes everything before it; deltas between arms
+        are the piece costs, XLA overlap caveat as in profile_legs)."""
+        import numpy as _np
+
+        from webgpu_raytracing_tpu.ops.ray_sort import (
+            _block_schedules,
+            _from_cols,
+            _recompact_final_pass,
+            _to_cols,
+            nearest_cluster_keys2,
+        )
+        from webgpu_raytracing_tpu.ops.cluster_pallas import (
+            trace_binned_pass,
+        )
+        from webgpu_raytracing_tpu.ops.traverse import Hit
+
+        fn_surv = functools.partial(
+            trace_closest_clustered_pallas, tile=128, tiles_per_step=8,
+            exact_pairs=False, gang=0, gang_frac=0, lockstep=True,
+            mm_passes=mm, derive_uv=False, interpret=INTERP,
+        )
+
+        @jax.jit
+        def run(o, d, t_max):
+            boxes = tables.clusters.sort_box
+            c = boxes.shape[0]
+            cbits = max(1, (c - 1).bit_length())
+            kmask = (1 << cbits) - 1
+            miss_th = int(_np.float32(3.4e38).view(_np.int32)) & ~kmask
+            n_s = tables.clusters.face_id.shape[1]
+            sl_mask = (1 << max(1, (n_s - 1).bit_length())) - 1
+            step = 128 * bps
+            pad = (-o.shape[0]) % step
+            assert pad == 0
+            r = o.shape[0]
+            z = jnp.zeros((r,), jnp.float32)
+
+            def hit_of(x):
+                return Hit(
+                    t=x.astype(jnp.float32), u=z, v=z,
+                    face=jnp.zeros((r,), jnp.int32),
+                )
+
+            k1, k2 = nearest_cluster_keys2(o, d, t_max, boxes)
+            if stage == "keys":
+                return hit_of(k1 + k2)
+            cid1 = jnp.where((k1 & ~kmask) < miss_th, k1 & kmask, c)
+            rid = jnp.arange(r, dtype=jnp.int32)
+            cols, specs, td = _to_cols((o, d, t_max, k2))
+            s1 = jax.lax.sort(
+                tuple([cid1, rid] + cols), num_keys=1, is_stable=True
+            )
+            cid_s, rid_s = s1[0], s1[1]
+            o_s, d_s, tm_s, k2_s = _from_cols(list(s1[2:]), specs, td)
+            if stage == "sort":
+                return hit_of(cid_s + rid_s)
+            sched, flag = _block_schedules(cid_s, r // 128, 128, c)
+            t1, f1 = trace_binned_pass(
+                o_s, d_s, tm_s, tables, sched, excl_code=None,
+                interpret=INTERP, blocks_per_step=bps, mm_passes=mm,
+            )
+            if stage == "pass1":
+                return hit_of(t1)
+            nmask = kmask | sl_mask
+            k2n = k2_s & ~nmask
+            live = tm_s > 0.0
+            stop = jnp.where(
+                live,
+                jnp.where(flag, jnp.maximum(k2n - 1, 0), 0),
+                jnp.int32(0x7FFFFFFF),
+            )
+            if stage == "unsorted_nosurv":
+                back = jax.lax.sort(
+                    (
+                        rid_s,
+                        jax.lax.bitcast_convert_type(t1, jnp.int32),
+                        f1,
+                    ),
+                    num_keys=1,
+                    is_stable=False,
+                )
+                return hit_of(back[1])
+            t_fin, f_fin, rid_c = _recompact_final_pass(
+                fn_surv, o_s, d_s, None, t1, f1, stop, rid_s, tables,
+                boxes, sf,
+            )
+            if stage == "surv":
+                return hit_of(t_fin)
+            back = jax.lax.sort(
+                (
+                    rid_c,
+                    jax.lax.bitcast_convert_type(t_fin, jnp.int32),
+                    f_fin,
+                ),
+                num_keys=1,
+                is_stable=False,
+            )
+            return hit_of(back[1])
+
+        return run
+
     # env-NEE shadow-ray sets (VERDICT r4 #4): origins = primary hit
     # points, directions = a sun direction + per-ray cone jitter,
     # t_max = F32_MAX (the environment has no distance — the unbounded
@@ -362,6 +468,33 @@ def main():
         ),
         "bounce_binned_p16": lambda: timed(
             binned(mm=2, bps=16), bounce_sets, "bounce_binned_p16",
+        ),
+        # binned scheduling for the COHERENT primary leg (screen-order
+        # rays share cid1 -> pass 1 resolves most lanes; does the extra
+        # key+sort plumbing beat the drain kernel's rounds?)
+        "primary_binned": lambda: timed(
+            binned(mm=2), [(po, pd, ptm)], "primary_binned",
+        ),
+        # cumulative piece attribution of the binned leg (deltas =
+        # piece costs; see binned_stage docstring)
+        "bpiece_keys": lambda: timed(
+            binned_stage("keys"), bounce_sets, "bpiece_keys",
+        ),
+        "bpiece_sort": lambda: timed(
+            binned_stage("sort"), bounce_sets, "bpiece_sort",
+        ),
+        "bpiece_pass1": lambda: timed(
+            binned_stage("pass1"), bounce_sets, "bpiece_pass1",
+        ),
+        "bpiece_nosurv": lambda: timed(
+            binned_stage("unsorted_nosurv"), bounce_sets,
+            "bpiece_nosurv",
+        ),
+        "bpiece_surv": lambda: timed(
+            binned_stage("surv"), bounce_sets, "bpiece_surv",
+        ),
+        "bpiece_full": lambda: timed(
+            binned_stage("full"), bounce_sets, "bpiece_full",
         ),
         # production incumbent at the r4 defaults (lockstep gang-all)
         "bounce_lockg2_mm2": lambda: timed(

@@ -240,8 +240,10 @@ def _trace_any(
         if backend in ("pallas", "pallas_interpret"):
             from .cluster_pallas import is_two_level
 
-            if settings.binned_sort and not is_two_level(tables.clusters):
-                # binned any-hit (see RenderSettings.binned_sort):
+            if (
+                settings.binned_sort or settings.binned_any_sort
+            ) and not is_two_level(tables.clusters):
+                # binned any-hit (see RenderSettings.binned_any_sort):
                 # pass 1 tests each ray's nearest cluster (any valid
                 # hit ends it), survivors run the compacted any-hit
                 # drain pass with the t_start skip mask. Exactly the

@@ -222,7 +222,19 @@ def nearest_cluster_keys2(
         pk = (
             jax.lax.bitcast_convert_type(nears, jnp.int32) & ~kmask
         ) | iota
-        k1, k2 = _top2_reduce(pk)
+        # top-2 via TWO plain min-reduces with a masked re-read — NOT
+        # the one-pass variadic reduce (_top2_reduce): Mosaic/XLA:TPU
+        # serializes variadic reductions, and the r5 piece attribution
+        # measured the fused top-2 at ~142 ms/2.07M rays where the
+        # whole rest of the binned pass-1 leg (sort + kernel + unsort,
+        # with this pass simplified to k1-only by DCE) was ~39 ms.
+        # Keys are unique (cluster iota in the LSBs), so two-pass
+        # extraction is bit-identical to the variadic top-2.
+        k1 = jnp.min(pk, axis=1)
+        k2 = jnp.min(
+            jnp.where(pk == k1[:, None], jnp.int32(0x7FFFFFFF), pk),
+            axis=1,
+        )
         return k1, k2
 
     pad = (-r) % chunk
@@ -355,52 +367,46 @@ def binned_trace_any(
     )
 
     # survivor-compacted any-hit pass (the _recompact_final_pass shape,
-    # specialized to the found/not-found merge)
+    # specialized to the found/not-found merge): permutation-only
+    # compaction sort (2 columns) + one packed slice-width row gather
+    # + one slice-width scatter-merge — non-survivor rows never move
+    # (same r5 plumbing cut as _recompact_final_pass, see its
+    # docstring)
     n_surv = jnp.sum(surv.astype(jnp.int32))
-    c2, sp2, td2 = _to_cols(
-        (o_s, d_s, tm_s, ts2) + ((ex_s,) if have_ex else ())
-    )
+    lane = jnp.arange(r, dtype=jnp.int32)
     sc = jax.lax.sort(
-        tuple(
-            [(~surv).astype(jnp.int32), rid_s, hit1.astype(jnp.int32)]
-            + c2
-        ),
-        num_keys=1,
-        is_stable=True,
+        ((~surv).astype(jnp.int32), lane), num_keys=1, is_stable=True
     )
-    rid_c, hit_c = sc[1], sc[2] != 0
-    ins2 = _from_cols(list(sc[3:]), sp2, td2)
-    o_c, d_c, tm_c, ts_c = ins2[:4]
-    ex_c = ins2[4] if have_ex else None
+    perm = sc[1]
     w2 = min(r, max(step, (-(-r // surv_frac) + step - 1) // step * step))
 
     def run_slice(width):
         def go(_):
-            o3, d3, tm3, ts3 = (
-                x[:width] for x in (o_c, d_c, tm_c, ts_c)
+            idx = perm[:width]
+            gathered = permute_rows(
+                idx,
+                (o_s, d_s, tm_s, ts2, surv) + ((ex_s,) if have_ex else ()),
             )
-            ex3 = ex_c[:width] if have_ex else None
+            o3, d3, tm3, ts3, sv3 = gathered[:5]
+            ex3 = gathered[5] if have_ex else None
             # non-survivor rows inside the slice are inert (tm = 0)
-            alive = jnp.arange(width) < n_surv
-            tm3 = jnp.where(alive, tm3, 0.0)
+            tm3 = jnp.where(sv3, tm3, 0.0)
             h = fn(
                 o3, d3, tm3, tables, None, excl_code=ex3, t_start=ts3
             )
             found = h.face >= 0
-            return jnp.concatenate(
-                [hit_c[:width] | found, hit_c[width:]]
-            )
+            return hit1.at[idx].set(jnp.take(hit1, idx) | found)
 
         return go
 
     if w2 >= r:
-        blocked_c = run_slice(r)(None)
+        blocked_s = run_slice(r)(None)
     else:
-        blocked_c = jax.lax.cond(
+        blocked_s = jax.lax.cond(
             n_surv <= w2, run_slice(w2), run_slice(r), None
         )
     unsorted = jax.lax.sort(
-        (rid_c, blocked_c.astype(jnp.int32)), num_keys=1, is_stable=False
+        (rid_s, blocked_s.astype(jnp.int32)), num_keys=1, is_stable=False
     )
     return (unsorted[1] != 0)[:r0]
 
@@ -572,7 +578,10 @@ def _unpack_cols(packed, specs, treedef):
             x = jax.lax.bitcast_convert_type(xi, dtype)
         else:
             x = xi
-        out.append(x.reshape(shp))
+        # row count comes from the packed matrix, not the spec: a
+        # slice-width gather (permute_rows with fewer indices than
+        # rows, the survivor compaction) legitimately shrinks it
+        out.append(x.reshape((packed.shape[0],) + shp[1:]))
     return jax.tree.unflatten(treedef, out)
 
 
@@ -647,34 +656,41 @@ def _recompact_final_pass(
     touched only when ``n_surv <= slice`` holds (the ``lax.cond``
     predicate), otherwise the FULL-width pass (the proven-correct
     fallback) runs instead — both branches are compiled, the cheap one
-    executes in practice. Returns ``(t, f, rid)`` in compacted order
-    (the caller's final unsort-by-rid is order-agnostic)."""
+    executes in practice. Returns ``(t, f, rid)`` with non-survivor
+    rows IN PLACE (the given sorted-stream order) and survivor results
+    scatter-merged over them (the caller's final unsort-by-rid is
+    order-agnostic).
+
+    r5 cost shape (after the piece attribution of the binned leg): the
+    original compaction rode the full payload (~13 i32 columns) through
+    a full-width stable sort and gathered the non-survivor TAIL back
+    out of it. Both are avoidable: sort only ``(class, lane)`` for the
+    compacted PERMUTATION (2 columns), gather just the ``w2`` slice
+    rows it selects (one packed slice-width row gather), and merge the
+    slice results back with one slice-width scatter — non-survivors
+    never move at all."""
     r = o_s.shape[0]
     have_ex = ex_s is not None
     surv = jax.lax.bitcast_convert_type(t_cur, jnp.int32) > stop
     n_surv = jnp.sum(surv.astype(jnp.int32))
     t_start = jax.lax.bitcast_convert_type(stop, jnp.float32)
-    cols, specs, td = _to_cols(
-        (o_s, d_s, t_start, t_cur, f_cur, surv)
-        + ((ex_s,) if have_ex else ())
-    )
+    lane = jnp.arange(r, dtype=jnp.int32)
     sc = jax.lax.sort(
-        tuple([(~surv).astype(jnp.int32), rid_s] + cols),
-        num_keys=1,
-        is_stable=True,
+        ((~surv).astype(jnp.int32), lane), num_keys=1, is_stable=True
     )
-    rid_c = sc[1]
-    ins = _from_cols(list(sc[2:]), specs, td)
-    o_c, d_c, ts_c, t_c, f_c, surv_c = ins[:6]
-    ex_c = ins[6] if have_ex else None
+    perm = sc[1]  # survivor lanes first, original order within classes
     w2 = min(r, max(128, (-(-r // surv_frac) + 127) // 128 * 128))
 
     def run_slice(width):
         def go(_):
-            o2, d2, ts2, t2, f2, sv2 = (
-                x[:width] for x in (o_c, d_c, ts_c, t_c, f_c, surv_c)
+            idx = perm[:width]
+            gathered = permute_rows(
+                idx,
+                (o_s, d_s, t_start, t_cur, f_cur, surv)
+                + ((ex_s,) if have_ex else ()),
             )
-            ex2 = ex_c[:width] if have_ex else None
+            o2, d2, ts2, t2, f2, sv2 = gathered[:6]
+            ex2 = gathered[6] if have_ex else None
             tm2 = jnp.where(sv2, t2, 0.0)
             key2 = nearest_cluster_key(o2, d2, tm2, boxes, t_start=ts2)
             lid = jnp.arange(width, dtype=jnp.int32)
@@ -703,13 +719,10 @@ def _recompact_final_pass(
                 num_keys=1,
                 is_stable=False,
             )
-            t_out = jnp.concatenate(
-                [
-                    jax.lax.bitcast_convert_type(back[1], jnp.float32),
-                    t_c[width:],
-                ]
+            t_out = t_cur.at[idx].set(
+                jax.lax.bitcast_convert_type(back[1], jnp.float32)
             )
-            f_out = jnp.concatenate([back[2], f_c[width:]])
+            f_out = f_cur.at[idx].set(back[2])
             return t_out, f_out
 
         return go
@@ -720,7 +733,7 @@ def _recompact_final_pass(
         t_fin, f_fin = jax.lax.cond(
             n_surv <= w2, run_slice(w2), run_slice(r), None
         )
-    return t_fin, f_fin, rid_c
+    return t_fin, f_fin, rid_s
 
 
 def sorted_trace_multipass(
