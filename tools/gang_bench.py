@@ -159,7 +159,7 @@ def main():
 
         return run
 
-    def binned(mm=2, sf=4, bps=8):
+    def binned(mm=2, sf=3, bps=8):
         from webgpu_raytracing_tpu.ops.ray_sort import binned_trace
 
         fn_surv = functools.partial(
@@ -213,7 +213,7 @@ def main():
 
         return run
 
-    def anyhit_binned(sf=4):
+    def anyhit_binned(sf=3):
         from webgpu_raytracing_tpu.ops.ray_sort import binned_trace_any
         from webgpu_raytracing_tpu.ops.traverse import Hit
 
@@ -238,7 +238,7 @@ def main():
 
         return run
 
-    def binned_stage(stage, mm=2, sf=4, bps=8):
+    def binned_stage(stage, mm=2, sf=3, bps=8):
         """Cumulative piece timing of the binned closest-hit leg: the
         r5 leg measured ~255 ms vs the drain leg's ~230 with ~1/12 the
         kernel work, so the cost moved into plumbing — attribute it.
@@ -314,6 +314,11 @@ def main():
                 jnp.where(flag, jnp.maximum(k2n - 1, 0), 0),
                 jnp.int32(0x7FFFFFFF),
             )
+            if stage == "fracprobe":
+                surv = (
+                    jax.lax.bitcast_convert_type(t1, jnp.int32) > stop
+                )
+                return hit_of(surv)
             if stage == "unsorted_nosurv":
                 back = jax.lax.sort(
                     (
@@ -469,6 +474,14 @@ def main():
         "bounce_binned_p16": lambda: timed(
             binned(mm=2, bps=16), bounce_sets, "bounce_binned_p16",
         ),
+        # survivor-slice sizing: sf4's slice is r/4 = 25% but the
+        # union analysis puts need>=2 at ~20-30% of rays — if n_surv
+        # exceeds the slice, the lax.cond takes the FULL-WIDTH drain
+        # fallback every time and the binned leg degenerates to
+        # drain + pass-1 overhead (the r5 leg numbers' shape)
+        "bounce_binned_sf2": lambda: timed(
+            binned(mm=2, sf=2), bounce_sets, "bounce_binned_sf2",
+        ),
         # binned scheduling for the COHERENT primary leg (screen-order
         # rays share cid1 -> pass 1 resolves most lanes; does the extra
         # key+sort plumbing beat the drain kernel's rounds?)
@@ -495,6 +508,28 @@ def main():
         ),
         "bpiece_full": lambda: timed(
             binned_stage("full"), bounce_sets, "bpiece_full",
+        ),
+        "bpiece_sfrac": lambda: print(
+            json.dumps(
+                {
+                    "label": "bpiece_sfrac",
+                    "surv_frac": [
+                        round(
+                            float(
+                                jnp.sum(
+                                    binned_stage("fracprobe")(
+                                        *s
+                                    ).t
+                                )
+                            )
+                            / R,
+                            4,
+                        )
+                        for s in bounce_sets
+                    ],
+                }
+            ),
+            flush=True,
         ),
         # production incumbent at the r4 defaults (lockstep gang-all)
         "bounce_lockg2_mm2": lambda: timed(

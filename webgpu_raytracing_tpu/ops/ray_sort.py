@@ -186,16 +186,19 @@ def nearest_cluster_keys2(
     t_max: jnp.ndarray,  # (R,) 0 for dead lanes
     boxes: jnp.ndarray,  # (C, 6)
     chunk: int = 65536,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Raw top-2 packed ``(near | cid)`` keys per ray — the binned
-    trace's scheduling primitive (:func:`binned_trace`). Unlike
-    :func:`nearest_cluster_key` (which combines the two cids into one
-    coherence ordinal), this returns both packed keys so the caller can
-    decode cid1 (the pass-1 bin), near2 (the exact pass-1 survivor
-    bound: an unprocessed cluster can only beat the carried best if its
-    entry distance does) and cid2. Same dense slab test, chunked the
-    same way; top-2 via the one-pass variadic reduce
-    (:func:`_top2_reduce`)."""
+    n: int = 2,
+) -> tuple[jnp.ndarray, ...]:
+    """Raw top-``n`` (2 or 3) packed ``(near | cid)`` keys per ray —
+    the binned trace's scheduling primitive (:func:`binned_trace`).
+    Unlike :func:`nearest_cluster_key` (which combines the two cids
+    into one coherence ordinal), this returns the raw packed keys so
+    the caller can decode cid1 (the pass-1 bin), near2/near3 (the
+    exact per-pass survivor bounds: an unprocessed cluster can only
+    beat the carried best if its entry distance does) and cid2. Same
+    dense slab test, chunked the same way; top-n via n plain
+    masked-min extraction passes (NOT the variadic ``_top2_reduce`` —
+    XLA:TPU serializes variadic reductions, measured 142 vs ~20 ms at
+    2.07M rays)."""
     import numpy as _np
 
     r = o.shape[0]
@@ -222,20 +225,15 @@ def nearest_cluster_keys2(
         pk = (
             jax.lax.bitcast_convert_type(nears, jnp.int32) & ~kmask
         ) | iota
-        # top-2 via TWO plain min-reduces with a masked re-read — NOT
-        # the one-pass variadic reduce (_top2_reduce): Mosaic/XLA:TPU
-        # serializes variadic reductions, and the r5 piece attribution
-        # measured the fused top-2 at ~142 ms/2.07M rays where the
-        # whole rest of the binned pass-1 leg (sort + kernel + unsort,
-        # with this pass simplified to k1-only by DCE) was ~39 ms.
-        # Keys are unique (cluster iota in the LSBs), so two-pass
-        # extraction is bit-identical to the variadic top-2.
-        k1 = jnp.min(pk, axis=1)
-        k2 = jnp.min(
-            jnp.where(pk == k1[:, None], jnp.int32(0x7FFFFFFF), pk),
-            axis=1,
-        )
-        return k1, k2
+        # top-n via n plain min-reduces with masked re-reads (see
+        # docstring; keys are unique by the iota LSBs, so successive
+        # masked extraction is bit-identical to a true top-n)
+        ks = []
+        for _ in range(n):
+            k = jnp.min(pk, axis=1)
+            ks.append(k)
+            pk = jnp.where(pk == k[:, None], jnp.int32(0x7FFFFFFF), pk)
+        return tuple(ks)
 
     pad = (-r) % chunk
     if pad:
@@ -243,7 +241,7 @@ def nearest_cluster_keys2(
         inv_d = jnp.concatenate([inv_d, jnp.ones((pad, 3), o.dtype)])
         t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)])
     n_chunks = (r + pad) // chunk
-    k1, k2 = jax.lax.map(
+    ks = jax.lax.map(
         per_chunk,
         (
             o.reshape(n_chunks, chunk, 3),
@@ -251,7 +249,7 @@ def nearest_cluster_keys2(
             t_max.reshape(n_chunks, chunk),
         ),
     )
-    return k1.reshape(-1)[:r], k2.reshape(-1)[:r]
+    return tuple(k.reshape(-1)[:r] for k in ks)
 
 
 def _block_schedules(cid_s, n_blocks, tile, c):
@@ -321,20 +319,20 @@ def binned_trace_any(
             )
     r = o.shape[0]
 
-    k1, k2 = nearest_cluster_keys2(o, d, t_max, boxes)
+    k1, k2, k3 = nearest_cluster_keys2(o, d, t_max, boxes, n=3)
     cid1 = jnp.where((k1 & ~kmask) < miss_th, k1 & kmask, c)
     rid = jnp.arange(r, dtype=jnp.int32)
     have_ex = extra is not None
     cols, specs, td = _to_cols(
-        (o, d, t_max, k1, k2) + ((extra,) if have_ex else ())
+        (o, d, t_max, k1, k2, k3) + ((extra,) if have_ex else ())
     )
     s1 = jax.lax.sort(
         tuple([cid1, rid] + cols), num_keys=1, is_stable=True
     )
     cid_s, rid_s = s1[0], s1[1]
     ins = _from_cols(list(s1[2:]), specs, td)
-    o_s, d_s, tm_s, k1_s, k2_s = ins[:5]
-    ex_s = ins[5] if have_ex else None
+    o_s, d_s, tm_s, k1_s, k2_s, k3_s = ins[:6]
+    ex_s = ins[6] if have_ex else None
 
     n_blocks = r // tile
     sched, flag = _block_schedules(cid_s, n_blocks, tile, c)
@@ -351,19 +349,99 @@ def binned_trace_any(
     live = tm_s > 0.0
     entered1 = (k1_s & ~kmask) < miss_th
     entered2 = (k2_s & ~kmask) < miss_th
-    surv = (
+    entered3 = (k3_s & ~kmask) < miss_th
+    surv1 = (
         live
         & ~hit1
         & jnp.where(flag, entered2, entered1)
     )
-    # skip mask for pass 2: flag rays have processed exactly their cid1
-    # (strictly nearer than near2 — the same truncated-down bound as
-    # binned_trace); unflagged rays skip nothing
-    nmask = kmask  # any-hit pass 2 keys carry no slot bits to honor
+
+    # ---- mid pass (cid2-binned), the same cascade as binned_trace:
+    # unresolved rays compact to a half-width slice, re-sort by cid2,
+    # and run one more binned pass — the drain then only sees rays
+    # whose THIRD entered cluster exists (k3). Slice overflow skips
+    # the mid pass (flag2 = False); the drain's own fallback restores
+    # exactness.
+    n_surv1 = jnp.sum(surv1.astype(jnp.int32))
+    w1 = min(r, max(step, (-(-r // 2) + step - 1) // step * step))
+    lane1 = jnp.arange(r, dtype=jnp.int32)
+    perm1 = jax.lax.sort(
+        ((~surv1).astype(jnp.int32), lane1), num_keys=1, is_stable=True
+    )[1]
+    cid2 = jnp.where((k2_s & ~kmask) < miss_th, k2_s & kmask, c)
+
+    def mid_pass(_):
+        idx1 = perm1[:w1]
+        gathered = permute_rows(
+            idx1,
+            (o_s, d_s, tm_s, cid2, surv1) + ((ex_s,) if have_ex else ()),
+        )
+        o_m, d_m, tm_m, cid2_m, sv_m = gathered[:5]
+        ex_m = gathered[5] if have_ex else None
+        tm_m = jnp.where(sv_m, tm_m, 0.0)
+        lid = jnp.arange(w1, dtype=jnp.int32)
+        c2s, sp2, td2 = _to_cols(
+            (o_m, d_m, tm_m) + ((ex_m,) if have_ex else ())
+        )
+        s2 = jax.lax.sort(
+            tuple([cid2_m, lid] + c2s), num_keys=1, is_stable=True
+        )
+        cid2_ss, lid_s = s2[0], s2[1]
+        ins2 = _from_cols(list(s2[2:]), sp2, td2)
+        o_m2, d_m2, tm_m2 = ins2[:3]
+        ex_m2 = ins2[3] if have_ex else None
+        sched2, flag2 = _block_schedules(cid2_ss, w1 // tile, tile, c)
+        _, f2 = trace_binned_pass(
+            o_m2, d_m2, tm_m2, tables, sched2, excl_code=ex_m2,
+            interpret=interpret, blocks_per_step=blocks_per_step,
+            mm_passes=mm_passes, tile=tile,
+        )
+        back = jax.lax.sort(
+            (lid_s, (f2 >= 0).astype(jnp.int32), flag2.astype(jnp.int32)),
+            num_keys=1,
+            is_stable=False,
+        )
+        hit_out = hit1.at[idx1].set(
+            jnp.take(hit1, idx1) | (back[1] != 0)
+        )
+        fl2 = (
+            jnp.zeros((r,), jnp.bool_).at[idx1].set(back[2] != 0)
+        )
+        return hit_out, fl2
+
+    def no_mid(_):
+        return hit1, jnp.zeros((r,), jnp.bool_)
+
+    if w1 >= r:
+        hit1b, flag2_full = mid_pass(None)
+    else:
+        hit1b, flag2_full = jax.lax.cond(
+            n_surv1 <= w1, mid_pass, no_mid, None
+        )
+    hit1 = hit1b
+
+    surv = (
+        live
+        & ~hit1
+        & jnp.where(
+            flag & flag2_full,
+            entered3,
+            jnp.where(flag, entered2, entered1),
+        )
+    )
+    # skip mask for the drain: flag rays have processed exactly their
+    # cid1 (strictly nearer than near2 — the same truncated-down bound
+    # as binned_trace), flag&flag2 rays cid1 AND cid2 (below near3);
+    # unflagged rays skip nothing
+    nmask = kmask  # any-hit drain keys carry no slot bits to honor
     ts2 = jnp.where(
-        flag & entered2,
-        jax.lax.bitcast_convert_type(k2_s & ~nmask, jnp.float32),
-        0.0,
+        flag & flag2_full & entered3,
+        jax.lax.bitcast_convert_type(k3_s & ~nmask, jnp.float32),
+        jnp.where(
+            flag & entered2,
+            jax.lax.bitcast_convert_type(k2_s & ~nmask, jnp.float32),
+            0.0,
+        ),
     )
 
     # survivor-compacted any-hit pass (the _recompact_final_pass shape,
@@ -412,7 +490,7 @@ def binned_trace_any(
 
 
 def binned_trace(
-    fn, o, d, t_max, tables, active=None, extra=None, surv_frac=4,
+    fn, o, d, t_max, tables, active=None, extra=None, surv_frac=3,
     tile=128, blocks_per_step=8, interpret=False, mm_passes=3,
 ):
     """Per-ray-scheduled sorted trace (closest-hit): the round-5
@@ -426,9 +504,18 @@ def binned_trace(
     :func:`sorted_trace`), every 128-ray block runs the ≤ 2 distinct
     cluster ids it spans (:func:`~.cluster_pallas.trace_binned_pass` —
     ~1.02 units/block; no tile-near pass, the top-2 key pass subsumes
-    it), and SURVIVORS go through the proven survivor-compacted drain
-    pass (:func:`_recompact_final_pass`) with the multipass ``t_start``
-    skip mask.
+    it), SURVIVORS run a second (cid2-binned) pass on a half-width
+    compacted slice, and the remaining survivors go through the proven
+    survivor-compacted drain pass (:func:`_recompact_final_pass`) with
+    the multipass ``t_start`` skip mask. Measured survivor fractions on
+    a real 1080p-scale bounce wave (CPU-exact probe + the gang_bench
+    ``bpiece_sfrac`` arm): 42% after pass 1 (that overflows ANY
+    affordable drain slice, which is why the mid pass exists), 25.5%
+    after the mid pass (mostly not-yet-hit rays whose line enters a
+    third cluster, the r2 analysis' irreducible miss tail) — hence the
+    default drain slice of r/3 (r/4 overflows by half a percent and
+    the ``lax.cond`` would take the full-width drain fallback every
+    leg).
 
     The survivor condition is exact and per-ray: with ``flag`` = "my
     cid1 made my block's schedule" (cid_sorted <= the block's second
@@ -481,20 +568,20 @@ def binned_trace(
             )
     r = o.shape[0]
 
-    k1, k2 = nearest_cluster_keys2(o, d, t_max, boxes)
+    k1, k2, k3 = nearest_cluster_keys2(o, d, t_max, boxes, n=3)
     cid1 = jnp.where((k1 & ~kmask) < miss_th, k1 & kmask, c)
     rid = jnp.arange(r, dtype=jnp.int32)
     have_ex = extra is not None
     cols, specs, td = _to_cols(
-        (o, d, t_max, k2) + ((extra,) if have_ex else ())
+        (o, d, t_max, k2, k3) + ((extra,) if have_ex else ())
     )
     s1 = jax.lax.sort(
         tuple([cid1, rid] + cols), num_keys=1, is_stable=True
     )
     cid_s, rid_s = s1[0], s1[1]
     ins = _from_cols(list(s1[2:]), specs, td)
-    o_s, d_s, tm_s, k2_s = ins[:4]
-    ex_s = ins[4] if have_ex else None
+    o_s, d_s, tm_s, k2_s, k3_s = ins[:5]
+    ex_s = ins[5] if have_ex else None
 
     n_blocks = r // tile
     sched, flag = _block_schedules(cid_s, n_blocks, tile, c)
@@ -515,15 +602,115 @@ def binned_trace(
     # scene has fewer cid bits than slot bits — small test scenes)
     nmask = kmask | sl_mask
     k2n = k2_s & ~nmask
+    k3n = k3_s & ~nmask
     live = tm_s > 0.0
-    stop = jnp.where(
+    stop1 = jnp.where(
         live,
         jnp.where(flag, jnp.maximum(k2n - 1, 0), 0),
         jnp.int32(0x7FFFFFFF),
     )
 
+    # ---- mid pass (cid2-binned): the pass-1 survivor fraction is
+    # ~42% on real bounce waves (bpiece_sfrac) — far past any
+    # affordable drain slice, so sf4/sf8 always took the full-width
+    # drain fallback and the binned leg degenerated to drain + pass-1
+    # overhead. Processing each survivor's SECOND-nearest cluster
+    # exactly (compact to a mid_frac slice, re-sort by cid2, same
+    # binned kernel) leaves only rays whose THIRD-nearest entered
+    # cluster could still beat their best (plus schedule misses) for
+    # the drain — the top-3 key's k3 gives that bound the same way k2
+    # gave pass 1's. Overflow of the mid slice falls back to skipping
+    # the mid pass entirely (flag2 = False everywhere): the final
+    # drain pass's own full-width fallback then restores exactness.
+    surv1 = jax.lax.bitcast_convert_type(t1, jnp.int32) > stop1
+    n_surv1 = jnp.sum(surv1.astype(jnp.int32))
+    mid_frac = 2
+    w1 = min(r, max(step, (-(-r // mid_frac) + step - 1) // step * step))
+    lane = jnp.arange(r, dtype=jnp.int32)
+    perm1 = jax.lax.sort(
+        ((~surv1).astype(jnp.int32), lane), num_keys=1, is_stable=True
+    )[1]
+    cid2 = jnp.where((k2_s & ~kmask) < miss_th, k2_s & kmask, c)
+
+    def mid_pass(_):
+        idx1 = perm1[:w1]
+        gathered = permute_rows(
+            idx1,
+            (o_s, d_s, t1, f1, cid2, surv1) + ((ex_s,) if have_ex else ()),
+        )
+        o_m, d_m, t_m, f_m, cid2_m, sv_m = gathered[:6]
+        ex_m = gathered[6] if have_ex else None
+        # dead rows inside the slice (non-survivors) are inert; the
+        # carried best rides as t_max (packed-truncated, exactly the
+        # drain survivor pass's contract)
+        tm_m = jnp.where(sv_m, t_m, 0.0)
+        lid = jnp.arange(w1, dtype=jnp.int32)
+        c2s, sp2, td2 = _to_cols(
+            (o_m, d_m, tm_m) + ((ex_m,) if have_ex else ())
+        )
+        s2 = jax.lax.sort(
+            tuple([cid2_m, lid] + c2s), num_keys=1, is_stable=True
+        )
+        cid2_ss, lid_s = s2[0], s2[1]
+        ins2 = _from_cols(list(s2[2:]), sp2, td2)
+        o_m2, d_m2, tm_m2 = ins2[:3]
+        ex_m2 = ins2[3] if have_ex else None
+        sched2, flag2 = _block_schedules(cid2_ss, w1 // tile, tile, c)
+        t2, f2 = trace_binned_pass(
+            o_m2, d_m2, tm_m2, tables, sched2, excl_code=ex_m2,
+            interpret=interpret, blocks_per_step=blocks_per_step,
+            mm_passes=mm_passes, tile=tile,
+        )
+        # unsort the slice (lid) and merge in place; improvements only
+        # (the kernel's packed-key result vs the packed carried best)
+        back = jax.lax.sort(
+            (
+                lid_s,
+                jax.lax.bitcast_convert_type(t2, jnp.int32),
+                f2,
+                flag2.astype(jnp.int32),
+            ),
+            num_keys=1,
+            is_stable=False,
+        )
+        t2u = jax.lax.bitcast_convert_type(back[1], jnp.float32)
+        imp = back[2] >= 0
+        t_out = t1.at[idx1].set(jnp.where(imp, t2u, jnp.take(t1, idx1)))
+        f_out = f1.at[idx1].set(
+            jnp.where(imp, back[2], jnp.take(f1, idx1))
+        )
+        fl2 = (
+            jnp.zeros((r,), jnp.bool_)
+            .at[idx1]
+            .set(back[3] != 0)
+        )
+        return t_out, f_out, fl2
+
+    def no_mid(_):
+        return t1, f1, jnp.zeros((r,), jnp.bool_)
+
+    if w1 >= r:
+        t1b, f1b, flag2_full = mid_pass(None)
+    else:
+        t1b, f1b, flag2_full = jax.lax.cond(
+            n_surv1 <= w1, mid_pass, no_mid, None
+        )
+
+    # final stop: both nearest clusters proven processed -> the bound
+    # moves to near3 (clusters with entry below near3 are exactly
+    # {cid1, cid2}); cid1 only -> near2; neither -> 0
+    stop = jnp.where(
+        live,
+        jnp.where(
+            flag & flag2_full,
+            jnp.maximum(k3n - 1, 0),
+            jnp.where(flag, jnp.maximum(k2n - 1, 0), 0),
+        ),
+        jnp.int32(0x7FFFFFFF),
+    )
+
     t_fin, f_fin, rid_c = _recompact_final_pass(
-        fn, o_s, d_s, ex_s, t1, f1, stop, rid_s, tables, boxes,
+        fn, o_s, d_s, ex_s, t1b, f1b, stop, rid_s, tables, boxes,
         surv_frac,
     )
     unsorted = jax.lax.sort(
