@@ -663,10 +663,11 @@ def test_pallas_binned_any_blocked_set(rng_np):
             tf, jnp.asarray(o), jnp.asarray(d), tmax, tables, active,
             extra=excl,
         )
-        for frac in (4, 1000):
+        for frac, mid in ((4, False), (4, True), (1000, False)):
             b1 = binned_trace_any(
                 fn, jnp.asarray(o), jnp.asarray(d), tmax, tables,
                 active, extra=excl, surv_frac=frac, interpret=True,
+                mid=mid,
             )
             np.testing.assert_array_equal(np.asarray(b1), np.asarray(b0))
 

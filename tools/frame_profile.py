@@ -221,6 +221,10 @@ def main():
         # binned_any_sort; r5 gang_bench: env legs -31%, light -22%)
         # — this arm isolates the frame-level delta by turning it off
         "nobinany": base.replace(binned_any_sort=False),
+        # dead-lane slicing of sorted bounce legs now DEFAULT ON
+        # (config.py live_slice; measured live fractions 62%/31% at
+        # bounce segs 1/2) — this arm isolates the frame-level delta
+        "noslice": base.replace(live_slice=False),
         # binned + predictor off / chained interactions
         "binned_nopred": base.replace(
             binned_sort=True, use_hit_predictor=False

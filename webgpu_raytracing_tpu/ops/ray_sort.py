@@ -278,6 +278,7 @@ def _block_schedules(cid_s, n_blocks, tile, c):
 def binned_trace_any(
     fn, o, d, t_max, tables, active=None, extra=None, surv_frac=4,
     tile=128, blocks_per_step=8, interpret=False, mm_passes=3,
+    mid=False,
 ):
     """Any-hit :func:`binned_trace` (shadow-ray semantics): returns the
     (R,) bool blocked mask in ORIGINAL ray order.
@@ -319,20 +320,24 @@ def binned_trace_any(
             )
     r = o.shape[0]
 
-    k1, k2, k3 = nearest_cluster_keys2(o, d, t_max, boxes, n=3)
+    ks = nearest_cluster_keys2(o, d, t_max, boxes, n=3 if mid else 2)
+    k1, k2 = ks[0], ks[1]
     cid1 = jnp.where((k1 & ~kmask) < miss_th, k1 & kmask, c)
     rid = jnp.arange(r, dtype=jnp.int32)
     have_ex = extra is not None
     cols, specs, td = _to_cols(
-        (o, d, t_max, k1, k2, k3) + ((extra,) if have_ex else ())
+        (o, d, t_max, k1, k2)
+        + ((ks[2],) if mid else ())
+        + ((extra,) if have_ex else ())
     )
     s1 = jax.lax.sort(
         tuple([cid1, rid] + cols), num_keys=1, is_stable=True
     )
     cid_s, rid_s = s1[0], s1[1]
     ins = _from_cols(list(s1[2:]), specs, td)
-    o_s, d_s, tm_s, k1_s, k2_s, k3_s = ins[:6]
-    ex_s = ins[6] if have_ex else None
+    o_s, d_s, tm_s, k1_s, k2_s = ins[:5]
+    k3_s = ins[5] if mid else k2_s
+    ex_s = ins[5 + int(mid)] if have_ex else None
 
     n_blocks = r // tile
     sched, flag = _block_schedules(cid_s, n_blocks, tile, c)
@@ -412,7 +417,18 @@ def binned_trace_any(
     def no_mid(_):
         return hit1, jnp.zeros((r,), jnp.bool_)
 
-    if w1 >= r:
+    # ``mid`` defaults OFF for any-hit: shadow-leg survivors already
+    # fit the r/4 drain slice (blocked rays resolve in pass 1, rays
+    # without a second entered cluster are done), and the on-chip A/B
+    # measured the mid pass as pure overhead there — single-pass
+    # binned_any beat the drain leg 224->154 ms (env) / 120->94
+    # (light), while the cascade LOST to it in the same harness
+    # (120->213 env): the surviving rays are the heavy unblocked
+    # line-walkers, whose drain cost compaction cannot cut, so a
+    # second binned pass only adds plumbing (r5 gang_bench sessions).
+    if not mid:
+        hit1b, flag2_full = no_mid(None)
+    elif w1 >= r:
         hit1b, flag2_full = mid_pass(None)
     else:
         hit1b, flag2_full = jax.lax.cond(
@@ -1053,12 +1069,29 @@ def sorted_trace_multipass(
     )
 
 
-def sorted_trace(trace_fn, o, d, t_max, tables, active=None, extra=None):
+def sorted_trace(trace_fn, o, d, t_max, tables, active=None, extra=None,
+                 live_slice=None, tail=None):
     """Run ``trace_fn(o, d, t_max, tables, active)`` with rays permuted by
     the nearest-cluster key; every (R,)-leading leaf of the result is
     restored to original ray order. ``lax.sort`` is stable, so the
     permutation (and the traced image) is deterministic. The ``active``
     mask is folded into ``t_max`` (dead lane ⇒ empty interval).
+
+    ``live_slice`` (static float < 1) slices the TRACE to the leading
+    ``live_slice * r`` rows of the sorted stream: rays with no entered
+    cluster — dead lanes (RR kills, prior misses) and live rays whose
+    line hits no cluster box — key to the miss class at the BACK of
+    the sort, where the kernel proves them misses at full fixed cost
+    (tile-near rows, per-tile drain setup) for a result the key
+    already knows. Measured live fractions on the default frame: 62%
+    at the first bounce segment, 31% at the second (livefrac probe,
+    r5) — while each such leg still cost ~148 ms of mostly fixed
+    plumbing. The slice is exact: the cond predicate counts non-miss
+    keys, the sliced branch concatenates ``tail(tm_s[w:])`` (the
+    caller's miss constructor — misses are determined for keyless
+    rays), and slicing at a 128-multiple preserves every surviving
+    tile's ray grouping bit-for-bit; overflow runs the full-width
+    branch.
 
     Both permutation legs ride the SORT NETWORK itself: ``lax.sort``
     carries payload operands at essentially the cost of the bare key
@@ -1087,10 +1120,38 @@ def sorted_trace(trace_fn, o, d, t_max, tables, active=None, extra=None):
     ins = _from_cols(list(sorted_ops[2:]), in_specs, in_td)
     if extra is None:
         o_s, d_s, tm_s = ins
-        res_s = trace_fn(o_s, d_s, tm_s, tables, None)
+        ex_s = None
     else:
         o_s, d_s, tm_s, ex_s = ins
-        res_s = trace_fn(o_s, d_s, tm_s, tables, None, ex_s)
+
+    def run_at(width):
+        args = (o_s[:width], d_s[:width], tm_s[:width], tables, None)
+        if extra is not None:
+            args = args + (ex_s[:width],)
+        return trace_fn(*args)
+
+    w = r
+    if live_slice is not None and tail is not None and live_slice < 1.0:
+        w = min(r, ((int(r * live_slice) + 127) // 128) * 128)
+    if w < r:
+        # miss-class threshold: key >= c*(c+1) iff the ray's NEAREST
+        # cluster is already the miss sentinel (no entered cluster)
+        c = tables.clusters.sort_box.shape[0]
+        n_act = jnp.sum(
+            (sorted_ops[0] < jnp.int32(c * (c + 1))).astype(jnp.int32)
+        )
+
+        def sliced(_):
+            res_w = run_at(w)
+            return jax.tree.map(
+                lambda a, b: jnp.concatenate([a, jnp.asarray(b)]),
+                res_w,
+                tail(tm_s[w:]),
+            )
+
+        res_s = jax.lax.cond(n_act <= w, sliced, lambda _: run_at(r), None)
+    else:
+        res_s = run_at(r)
 
     leaves = [jnp.asarray(x) for x in jax.tree.leaves(res_s)]
     sortable = all(
