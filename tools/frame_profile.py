@@ -217,10 +217,9 @@ def main():
         # cluster-units/block vs the drain kernels' ~12; survivors run
         # the compacted drain pass). Bit-identical at gang<=1 (tests).
         "binned": base.replace(binned_sort=True),
-        # binned any-hit shadow legs now DEFAULT ON (config.py
-        # binned_any_sort; r5 gang_bench: env legs -31%, light -22%)
-        # — this arm isolates the frame-level delta by turning it off
-        "nobinany": base.replace(binned_any_sort=False),
+        # binned any-hit shadow legs (config.py binned_any_sort,
+        # default OFF after the cache-warm A/B) — frame-level check
+        "binany": base.replace(binned_any_sort=True),
         # dead-lane slicing of sorted bounce legs now DEFAULT ON
         # (config.py live_slice; measured live fractions 62%/31% at
         # bounce segs 1/2) — this arm isolates the frame-level delta

@@ -335,14 +335,16 @@ class RenderSettings:
     # segments only; pairs/exact segments keep the drain path.
     binned_sort: bool = False
     # Binned scheduling for sorted ANY-HIT (shadow) legs
-    # (ops/ray_sort.binned_trace_any), independent of binned_sort:
-    # occlusion is usually proven by the ray's own nearest cluster, so
-    # pass 1 resolves most lanes and the survivor drain pass runs at
-    # slice width. Measured on chip (tools/gang_bench.py, r5): env-NEE
-    # unbounded legs 224 -> 154 ms (-31%), light-NEE legs 120 -> 94 ms
-    # (-22%) at 2.07M rays. Blocked-set-identical to the drain leg
-    # (tests); default ON (single-level scenes; two-level falls back).
-    binned_any_sort: bool = True
+    # (ops/ray_sort.binned_trace_any), independent of binned_sort.
+    # Default OFF: an early r5 session measured it -31%/-22% on
+    # env/light legs, but that was the compile-inflation artifact
+    # (arms timed right after long remote compiles run slow on this
+    # tunnel — ROADMAP r5); the cache-warm 12-rep A/B in one process
+    # has the drain legs WINNING: env 116 vs 145 ms, light 106 vs 118
+    # at 2.07M rays. Blocked-set-identical to the drain leg (tests);
+    # kept as the measured record and for scenes where pass-1
+    # resolution dominates.
+    binned_any_sort: bool = False
     # Dead-lane slicing of sorted bounce legs (ops/ray_sort.sorted_trace
     # live_slice): rays with no entered cluster — RR kills, prior
     # misses, lines that exit the scene — key to the back of the ray
