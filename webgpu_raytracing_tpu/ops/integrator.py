@@ -223,7 +223,8 @@ def _trace_closest(
 
 
 def _trace_any(
-    o, d, t_max, tables, settings, active=None, sort=False, excl=None
+    o, d, t_max, tables, settings, active=None, sort=False, excl=None,
+    seg=0,
 ):
     backend = _resolve_backend(settings, tables)
     if backend in ("pallas", "pallas_interpret"):
@@ -284,7 +285,21 @@ def _trace_any(
                     mm_passes=settings.mm_passes,
                 )
 
-        return sorted_trace(fn, o, d, t_max, tables, active, extra=excl)
+        # dead-lane slicing (RenderSettings.live_slice): shadow legs
+        # are mostly dead — measured live fractions on the env-IS
+        # frame: 20% at segment 1, 10% at segment 2 (facing culls +
+        # dead paths) — and the keyless tail's answer is "unblocked"
+        ls = None
+        if settings.live_slice and seg > 0:
+            ls = 0.375 if seg == 1 else 0.25
+
+        def clear_tail(tm_tail):
+            return jnp.zeros(tm_tail.shape, jnp.bool_)
+
+        return sorted_trace(
+            fn, o, d, t_max, tables, active, extra=excl,
+            live_slice=ls, tail=clear_tail,
+        )
     if backend in ("pallas", "pallas_interpret"):
         return fn(o, d, t_max, tables, active, excl)
     return fn(o, d, t_max, tables, active)
@@ -425,6 +440,7 @@ def direct_light(
     active: jnp.ndarray | None = None,
     sort: bool = False,
     excl: jnp.ndarray | None = None,
+    seg: int = 0,
 ):
     """pointColor (render.ts:1143-1157): one-or-more light samples with
     shadow rays; emission × cosine / r² × (1/pdf).
@@ -447,7 +463,7 @@ def direct_light(
         dirn = ds * inv_d[..., None]
         shadowed = _trace_any(
             point, dirn, detmath.det_sqrt(jnp.maximum(d_sq, 0.0)), tables,
-            settings, active, sort=sort, excl=excl,
+            settings, active, sort=sort, excl=excl, seg=seg,
         )
         vis = jnp.where(shadowed, 0.0, 1.0)
         cosine = jnp.maximum(jnp.sum(dirn * normal, axis=-1), 0.0)
@@ -610,7 +626,7 @@ def path_trace(
             # the shadow trace needs no sort leg of its own
             nee, state = direct_light(
                 new_o, n, state, tables, settings, active=h,
-                sort=sort_here, excl=excl,
+                sort=sort_here, excl=excl, seg=seg,
             )
             color = jnp.where(
                 h[..., None], color + nee * throughput, color
@@ -638,6 +654,7 @@ def path_trace(
             blocked = _trace_any(
                 new_o, ed, jnp.full((r,), F32_MAX, jnp.float32), tables,
                 settings, active=h & facing, sort=sort_here, excl=excl,
+                seg=seg,
             )
             vis = h & facing & ~blocked
             pb = bsdf_pdf(ed, n)
