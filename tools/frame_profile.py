@@ -242,6 +242,17 @@ def main():
             environment="equirect", env_importance_sampling=True,
             env_nee_depth=1,
         ),
+        # isolate live_slice's effect on the env-IS frame (the r5
+        # envis/equirect ratio moved 2.77x -> 4.1x vs r4; which part
+        # is session speed and which is slicing?)
+        "envis_noslice": base.replace(
+            environment="equirect", env_importance_sampling=True,
+            live_slice=False,
+        ),
+        "envis_d1_noslice": base.replace(
+            environment="equirect", env_importance_sampling=True,
+            env_nee_depth=1, live_slice=False,
+        ),
         "envis_d2": base.replace(
             environment="equirect", env_importance_sampling=True,
             env_nee_depth=2,
